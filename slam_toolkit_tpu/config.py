@@ -1,0 +1,170 @@
+"""Typed configuration for the whole engine.
+
+The reference scatters its knobs as hardcoded constants (extractor params
+src/pipeline.cpp:46-50; search radii src/posetracker.cpp:185,
+src/loopcloser.cpp:59,224; match ratio src/matcher.cpp:69,138; keyframe
+grid src/pipeline.cpp:265-268; culling window src/pipeline.cpp:207; BA
+iterations src/pipeline.cpp:137,179 and src/loopcloser.cpp:187; loop
+consistency threshold src/loopdetector.cpp:28). Here they live in one
+frozen dataclass so every jitted program sees them as static Python
+values (no retraces, no dynamic shapes).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclasses.dataclass(frozen=True)
+class ExtractorConfig:
+    """ORB pyramid extractor (reference: src/pipeline.cpp:45-58)."""
+
+    num_features: int = 2000          # requested features across all levels
+    scale_factor: float = 1.2
+    num_levels: int = 8
+    fast_threshold_high: int = 20     # initial FAST threshold
+    fast_threshold_low: int = 7       # fallback threshold in sparse cells
+    cell_size: int = 32               # spatial-uniformity cell (ref uses 30px grid)
+    patch_radius: int = 15            # IC_Angle / rBRIEF patch radius
+    edge_margin: int = 19             # pyramid border (ref: EDGE_THRESHOLD 19)
+    blur_sigma: float = 2.0           # GaussianBlur(7x7, sigma=2) before BRIEF
+
+    @property
+    def max_keypoints(self) -> int:
+        """Padded per-frame keypoint capacity (lane-aligned)."""
+        return _round_up(self.num_features, 128)
+
+    @property
+    def scales(self) -> Tuple[float, ...]:
+        return tuple(self.scale_factor ** i for i in range(self.num_levels))
+
+
+@dataclasses.dataclass(frozen=True)
+class MatcherConfig:
+    """Descriptor matching (reference: src/matcher.cpp)."""
+
+    ratio: float = 0.5                # best/second-best Hamming ratio
+    stereo_max_dy: float = 3.0        # |y_l - y_r| epipolar gate
+    stereo_min_dx: float = 0.0        # disparity bounds
+    stereo_max_dx: float = 100.0
+    projection_radius: float = 50.0   # px, pose-tracking search radius
+    loop_radius: float = 10.0         # px, loop-merge search radius
+    max_hamming: int = 80             # absolute distance acceptance cap
+
+
+@dataclasses.dataclass(frozen=True)
+class TrackerConfig:
+    """Motion-only LM (reference: src/posetracker.cpp)."""
+
+    num_iterations: int = 10
+    min_matches: int = 8              # retry / accept thresholds
+    reprojection_px: float = 10.0     # outlier filter (ReprojectionFilter)
+    huber_delta: float = 2.4477468    # sqrt(5.991), on sigma-normalized residual
+    lm_lambda0: float = 1e-4
+    lm_lambda_up: float = 10.0
+    lm_lambda_down: float = 0.1
+
+
+@dataclasses.dataclass(frozen=True)
+class LocalBAConfig:
+    """Local-window bundle adjustment (reference: src/localmapper.cpp)."""
+
+    num_iterations: int = 10
+    window_keyframes: int = 8         # free + fixed poses in the window
+    max_points: int = 1024            # mappoint slots in one BA problem
+    max_obs_per_point: int = 8        # observations kept per point
+    huber_delta: float = 2.4477468
+    lm_lambda0: float = 1e-4
+    lm_lambda_up: float = 10.0
+    lm_lambda_down: float = 0.1
+
+
+@dataclasses.dataclass(frozen=True)
+class KeyframeConfig:
+    """Grid-occupancy keyframe rule (reference: src/pipeline.cpp:264-300)."""
+
+    grid_cols: int = 4
+    grid_rows: int = 1
+    min_per_cell: int = 5
+    min_total: int = 20
+    culling_window: int = 5           # reserve range for non-keyframes
+
+
+@dataclasses.dataclass(frozen=True)
+class LoopConfig:
+    """Loop detection / closing (reference: src/loopdetector.cpp, loopcloser.cpp)."""
+
+    min_covisibility: int = 20
+    min_score_ratio: float = 0.7      # minScore = 0.7 * best-neighbor score
+    consistency_threshold: int = 5    # consecutive-KF consistency groups
+    min_matches: int = 8              # relative-pose acceptance
+    posegraph_iterations: int = 20
+    info_translation: float = 100.0   # anisotropic odometry-edge info
+    info_rotation: float = 100.0
+    info_yaw_damp: float = 0.01       # ref wv(5,5)=0.01 (vertical-axis rot)
+    # vocabulary (ours is trained, not ORBvoc.txt: branching k, depth L)
+    vocab_k: int = 10
+    vocab_levels: int = 4             # 10^4 = 10k words
+    bow_top_words: int = 256          # per-frame sparse BoW width
+
+
+@dataclasses.dataclass(frozen=True)
+class MapConfig:
+    """Fixed-capacity map state (replaces pointer-graph PipelineMap)."""
+
+    max_keyframes: int = 512          # keyframe ring capacity
+    max_mappoints: int = 16384        # landmark table capacity
+    recent_frames: int = 16           # non-keyframe pose history kept on device
+    max_obs_per_frame: int = 2048     # = extractor.max_keypoints
+
+
+@dataclasses.dataclass(frozen=True)
+class CameraConfig:
+    """Pinhole + radial-tangential stereo rig (reference: src/camera.cpp)."""
+
+    fx: float = 718.856
+    fy: float = 718.856
+    cx: float = 607.1928
+    cy: float = 185.2157
+    # distortion [k1, k2, p1, p2]
+    k1: float = 0.0
+    k2: float = 0.0
+    p1: float = 0.0
+    p2: float = 0.0
+    baseline: float = 0.537           # KITTI stereo baseline [m]
+    width: int = 1241
+    height: int = 376
+
+
+@dataclasses.dataclass(frozen=True)
+class SlamConfig:
+    camera: CameraConfig = dataclasses.field(default_factory=CameraConfig)
+    extractor: ExtractorConfig = dataclasses.field(default_factory=ExtractorConfig)
+    matcher: MatcherConfig = dataclasses.field(default_factory=MatcherConfig)
+    tracker: TrackerConfig = dataclasses.field(default_factory=TrackerConfig)
+    local_ba: LocalBAConfig = dataclasses.field(default_factory=LocalBAConfig)
+    keyframe: KeyframeConfig = dataclasses.field(default_factory=KeyframeConfig)
+    loop: LoopConfig = dataclasses.field(default_factory=LoopConfig)
+    map: MapConfig = dataclasses.field(default_factory=MapConfig)
+
+    def replace(self, **kw) -> "SlamConfig":
+        return dataclasses.replace(self, **kw)
+
+    @staticmethod
+    def tiny() -> "SlamConfig":
+        """Small shapes for fast CPU tests."""
+        return SlamConfig(
+            camera=CameraConfig(fx=120.0, fy=120.0, cx=64.0, cy=48.0,
+                                baseline=0.2, width=128, height=96),
+            extractor=ExtractorConfig(num_features=256, num_levels=4,
+                                      cell_size=16),
+            local_ba=LocalBAConfig(window_keyframes=4, max_points=256),
+            map=MapConfig(max_keyframes=64, max_mappoints=2048,
+                          max_obs_per_frame=256),
+            loop=LoopConfig(vocab_k=4, vocab_levels=3, bow_top_words=64),
+        )

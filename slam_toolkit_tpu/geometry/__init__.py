@@ -1,0 +1,1 @@
+from slam_toolkit_tpu.geometry import se3, camera  # noqa: F401

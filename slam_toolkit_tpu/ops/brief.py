@@ -1,0 +1,100 @@
+"""Intensity-centroid orientation + rotated BRIEF descriptors.
+
+TPU-native counterpart of the reference's IC_Angle
+(ref src/orb_extractor.cpp:77-104) and computeOrbDescriptor (:108-147):
+instead of per-keypoint C++ loops we gather K patch windows at once and
+reduce them on the VPU.
+
+The 256 sampling pairs are generated here (seeded Gaussian sampling per
+the original BRIEF construction, sigma = patch/5, rejected to radius 14
+so any rotation stays inside the 31x31 patch). We deliberately do NOT
+reuse ORB's learned `bit_pattern_31_` table: descriptors only need to be
+self-consistent within this engine (matching + our own trained
+vocabulary), not binary-compatible with ORBvoc.txt.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+PATCH_RADIUS = 15
+NUM_PAIRS = 256
+DESC_WORDS = 8  # 256 bits as 8 x uint32
+
+
+@functools.lru_cache(maxsize=1)
+def sampling_pattern() -> np.ndarray:
+    """Deterministic (2, 256, 2) float32 array of (x, y) sample offsets."""
+    rng = np.random.default_rng(20260816)
+    pts = []
+    while len(pts) < NUM_PAIRS * 2:
+        cand = rng.normal(0.0, PATCH_RADIUS / 2.4, size=(NUM_PAIRS, 2))
+        keep = cand[np.linalg.norm(cand, axis=1) <= PATCH_RADIUS - 1.0]
+        pts.extend(keep.tolist())
+    arr = np.asarray(pts[:NUM_PAIRS * 2], dtype=np.float32)
+    return arr.reshape(2, NUM_PAIRS, 2)
+
+
+@functools.lru_cache(maxsize=1)
+def _circular_moment_masks():
+    """(31, 31) dx and dy weights inside the radius-15 disc."""
+    d = np.arange(-PATCH_RADIUS, PATCH_RADIUS + 1)
+    dx = np.broadcast_to(d[None, :], (31, 31)).astype(np.float32)
+    dy = np.broadcast_to(d[:, None], (31, 31)).astype(np.float32)
+    inside = (dx * dx + dy * dy) <= PATCH_RADIUS * PATCH_RADIUS + 0.5
+    return dx * inside, dy * inside
+
+
+def gather_patches(image: jnp.ndarray, centers_xy: jnp.ndarray,
+                   radius: int = PATCH_RADIUS) -> jnp.ndarray:
+    """Gather (K, 2r+1, 2r+1) patches at integer centers (x, y).
+
+    Centers are clamped to the image; callers guarantee a detection border
+    so clamping only ever touches invalid (masked) keypoints.
+    """
+    h, w = image.shape
+    d = jnp.arange(-radius, radius + 1)
+    cx = jnp.round(centers_xy[:, 0]).astype(jnp.int32)
+    cy = jnp.round(centers_xy[:, 1]).astype(jnp.int32)
+    yy = jnp.clip(cy[:, None, None] + d[None, :, None], 0, h - 1)
+    xx = jnp.clip(cx[:, None, None] + d[None, None, :], 0, w - 1)
+    return image[yy, xx]
+
+
+def ic_angle(image: jnp.ndarray, centers_xy: jnp.ndarray) -> jnp.ndarray:
+    """Intensity-centroid orientation (radians) for K keypoints."""
+    patches = gather_patches(image, centers_xy)
+    wx, wy = _circular_moment_masks()
+    m10 = jnp.sum(patches * jnp.asarray(wx), axis=(1, 2))
+    m01 = jnp.sum(patches * jnp.asarray(wy), axis=(1, 2))
+    return jnp.arctan2(m01, m10)
+
+
+def compute_descriptors(blurred: jnp.ndarray, centers_xy: jnp.ndarray,
+                        angles: jnp.ndarray) -> jnp.ndarray:
+    """Rotation-steered 256-bit BRIEF, packed (K, 8) uint32.
+
+    Samples the blurred image at the pattern offsets rotated by each
+    keypoint's angle (rounded to nearest pixel, like the reference's
+    cvRound sampling at src/orb_extractor.cpp:117-124).
+    """
+    h, w = blurred.shape
+    pat = jnp.asarray(sampling_pattern())            # (2, 256, 2) xy
+    ca, sa = jnp.cos(angles), jnp.sin(angles)        # (K,)
+    px = pat[:, :, 0][None, :, :]                    # (1, 2, 256)
+    py = pat[:, :, 1][None, :, :]
+    rx = px * ca[:, None, None] - py * sa[:, None, None]   # (K, 2, 256)
+    ry = px * sa[:, None, None] + py * ca[:, None, None]
+    cx = jnp.round(centers_xy[:, 0])[:, None, None]
+    cy = jnp.round(centers_xy[:, 1])[:, None, None]
+    gx = jnp.clip(jnp.round(cx + rx).astype(jnp.int32), 0, w - 1)
+    gy = jnp.clip(jnp.round(cy + ry).astype(jnp.int32), 0, h - 1)
+    vals = blurred[gy, gx]                           # (K, 2, 256)
+    bits = (vals[:, 0, :] < vals[:, 1, :]).astype(jnp.uint32)  # (K, 256)
+    k = bits.shape[0]
+    words = bits.reshape(k, DESC_WORDS, 32)
+    shifts = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, None, :]
+    return jnp.sum(words * shifts, axis=-1, dtype=jnp.uint32)

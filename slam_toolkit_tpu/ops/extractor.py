@@ -1,0 +1,93 @@
+"""The full ORB extractor: pyramid -> FAST -> select -> orient -> describe.
+
+One jittable function replacing ORBextractor::extract
+(ref src/orb_extractor.cpp:1043-1105). Per-level feature budgets follow
+the reference's geometric split (:435-446); the two-threshold retry
+(:769-829) becomes a response-priority trick (high-threshold corners
+outrank low-threshold ones before per-cell selection); octree culling
+(:539-763) becomes the per-cell top-k of ops/topk_grid.py.
+
+Output is a fixed-shape FrameFeatures pytree — padded keypoint slots are
+flagged invalid, never dropped, so the whole frontend stays shape-static
+under jit.
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple
+
+import jax.numpy as jnp
+
+from slam_toolkit_tpu.config import ExtractorConfig
+from slam_toolkit_tpu.ops import brief, fast, pyramid, topk_grid
+
+
+class FrameFeatures(NamedTuple):
+    xy: jnp.ndarray        # (K, 2) float32, level-0 pixel coords
+    response: jnp.ndarray  # (K,) float32
+    octave: jnp.ndarray    # (K,) int32
+    angle: jnp.ndarray     # (K,) float32 radians
+    sigma2: jnp.ndarray    # (K,) float32 per-octave measurement variance
+    desc: jnp.ndarray      # (K, 8) uint32 packed 256-bit rBRIEF
+    valid: jnp.ndarray     # (K,) bool
+
+
+def level_budgets(cfg: ExtractorConfig) -> List[int]:
+    """Geometric per-level feature split (ref src/orb_extractor.cpp:435-446)."""
+    q = 1.0 / cfg.scale_factor
+    n0 = cfg.num_features * (1.0 - q) / (1.0 - q ** cfg.num_levels)
+    budgets = [int(round(n0 * q ** i)) for i in range(cfg.num_levels - 1)]
+    budgets.append(max(cfg.num_features - sum(budgets), 0))
+    return budgets
+
+
+def extract(image: jnp.ndarray, cfg: ExtractorConfig) -> FrameFeatures:
+    """(H, W) float32 grayscale -> FrameFeatures with cfg.max_keypoints slots."""
+    levels = pyramid.build_pyramid(image, cfg)
+    budgets = level_budgets(cfg)
+    border = cfg.patch_radius + 1
+
+    parts = []
+    for lvl, (img_l, n_l) in enumerate(zip(levels, budgets)):
+        if n_l == 0:
+            continue
+        score_hi = fast.detect(img_l, float(cfg.fast_threshold_high), border)
+        score_lo = fast.detect(img_l, float(cfg.fast_threshold_low), border)
+        # high-threshold corners always outrank low-threshold fallbacks
+        eff = jnp.where(score_hi > 0.0, score_lo + 1e4, score_lo)
+        xy, _, valid = topk_grid.select_keypoints(eff, cfg.cell_size, n_l)
+        # report the true (un-boosted) response, not the ranking value
+        ix = xy.astype(jnp.int32)
+        resp = jnp.where(valid, score_lo[ix[:, 1], ix[:, 0]], 0.0)
+        angle = brief.ic_angle(img_l, xy)
+        blurred = pyramid.gaussian_blur(img_l, 7, cfg.blur_sigma)
+        desc = brief.compute_descriptors(blurred, xy, angle)
+        scale = cfg.scale_factor ** lvl
+        parts.append(FrameFeatures(
+            xy=xy * scale,
+            response=resp,
+            octave=jnp.full((n_l,), lvl, jnp.int32),
+            angle=angle,
+            sigma2=jnp.full((n_l,), scale * scale, jnp.float32),
+            desc=desc,
+            valid=valid,
+        ))
+
+    feats = FrameFeatures(*[jnp.concatenate(f, axis=0) for f in zip(*parts)])
+    total = feats.xy.shape[0]
+    pad = cfg.max_keypoints - total
+    if pad > 0:
+        feats = FrameFeatures(
+            xy=jnp.pad(feats.xy, ((0, pad), (0, 0))),
+            response=jnp.pad(feats.response, (0, pad)),
+            octave=jnp.pad(feats.octave, (0, pad)),
+            angle=jnp.pad(feats.angle, (0, pad)),
+            sigma2=jnp.pad(feats.sigma2, (0, pad), constant_values=1.0),
+            desc=jnp.pad(feats.desc, ((0, pad), (0, 0))),
+            valid=jnp.pad(feats.valid, (0, pad)),
+        )
+    # zero out coordinates of invalid slots (keeps downstream masks honest)
+    feats = feats._replace(
+        xy=jnp.where(feats.valid[:, None], feats.xy, 0.0),
+        response=jnp.where(feats.valid, feats.response, 0.0))
+    return feats

@@ -1,0 +1,69 @@
+"""Packed-binary Hamming distance as dense XLA contractions.
+
+Replaces the reference's scalar XOR+popcount loop
+(DescriptorDistance, ref include/orb_extractor.h:87-103) and both of its
+search structures — row-bucket candidate lists (src/matcher.cpp:60-95)
+and FLANN radius queries (src/frame.cpp:157-193) — with one dense
+(M, N) distance matrix: XOR broadcast over 8 uint32 words, hardware
+popcount, sum. At K=2048 descriptors this is ~34M VPU int ops, far
+below one HBM roundtrip of the images themselves; gates (epipolar bands,
+search radii, validity) are additive masks on the matrix.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+BIG = jnp.float32(1e9)  # sentinel distance for masked-out pairs
+
+
+def distance_matrix(desc_a: jnp.ndarray, desc_b: jnp.ndarray) -> jnp.ndarray:
+    """(M, 8) x (N, 8) packed uint32 -> (M, N) int32 Hamming distances."""
+    x = jnp.bitwise_xor(desc_a[:, None, :], desc_b[None, :, :])
+    return jnp.sum(jax.lax.population_count(x).astype(jnp.int32), axis=-1)
+
+
+def masked_distance(desc_a: jnp.ndarray, desc_b: jnp.ndarray,
+                    mask: jnp.ndarray) -> jnp.ndarray:
+    """Distance matrix with disallowed pairs pushed to BIG (float32)."""
+    d = distance_matrix(desc_a, desc_b).astype(jnp.float32)
+    return jnp.where(mask, d, BIG)
+
+
+def ratio_test_match(dist: jnp.ndarray, ratio: float,
+                     max_dist: float):
+    """Row-wise best match with best/second-best ratio test.
+
+    dist: (M, N) float32 with BIG at masked pairs.
+    Returns (idx (M,) int32 best column, ok (M,) bool passing
+    d_best <= max_dist and d_best < ratio * d_second) — the acceptance
+    rule of ref src/matcher.cpp:112-128.
+    """
+    best_idx = jnp.argmin(dist, axis=1)
+    m = dist.shape[0]
+    rows = jnp.arange(m)
+    d_best = dist[rows, best_idx]
+    masked = dist.at[rows, best_idx].set(BIG)
+    d_second = jnp.min(masked, axis=1)
+    ok = (d_best <= max_dist) & (d_best < ratio * d_second)
+    return best_idx.astype(jnp.int32), ok
+
+
+def keep_best_per_target(idx: jnp.ndarray, ok: jnp.ndarray,
+                         dist_best: jnp.ndarray, num_targets: int):
+    """Resolve duplicate matches to one target: keep the smallest distance.
+
+    Mirrors ProjectionMatch's keep-best-on-collision
+    (ref src/matcher.cpp:197-205). Returns a refined `ok` mask.
+    """
+    d = jnp.where(ok, dist_best, BIG)
+    # min distance per target via scatter-min
+    per_target = jnp.full((num_targets,), BIG).at[idx].min(d)
+    is_best = ok & (d <= per_target[idx])
+    # break remaining ties (equal distance) by source index: keep lowest
+    m = idx.shape[0]
+    src = jnp.arange(m)
+    src_masked = jnp.where(is_best, src, m)
+    first_src = jnp.full((num_targets,), m).at[idx].min(src_masked)
+    return is_best & (src == first_src[idx])

@@ -33,6 +33,11 @@ class ExtractorConfig:
     patch_radius: int = 15            # IC_Angle / rBRIEF patch radius
     edge_margin: int = 19             # pyramid border (ref: EDGE_THRESHOLD 19)
     blur_sigma: float = 2.0           # GaussianBlur(7x7, sigma=2) before BRIEF
+    # Rotation-steered BRIEF (the reference's rBRIEF). On near-planar
+    # motion (KITTI: roll ~ 0) upright descriptors are markedly more
+    # distinctive because IC-angle noise decorrelates steered patterns;
+    # steering stays available for rotation-heavy rigs.
+    steer_rotation: bool = False
 
     @property
     def max_keypoints(self) -> int:
@@ -48,7 +53,11 @@ class ExtractorConfig:
 class MatcherConfig:
     """Descriptor matching (reference: src/matcher.cpp)."""
 
-    ratio: float = 0.5                # best/second-best Hamming ratio
+    # Best/second-best Hamming ratio. The reference uses 0.5
+    # (src/matcher.cpp:69,138) tuned to its learned BRIEF pattern; for
+    # this engine's pattern a measured sweep (scripts/sweep_gates.py)
+    # gives ~2x recall at >=93% precision at 0.7.
+    ratio: float = 0.7
     stereo_max_dy: float = 3.0        # |y_l - y_r| epipolar gate
     stereo_min_dx: float = 0.0        # disparity bounds
     stereo_max_dx: float = 100.0
@@ -121,6 +130,8 @@ class MapConfig:
     max_mappoints: int = 16384        # landmark table capacity
     recent_frames: int = 16           # non-keyframe pose history kept on device
     max_obs_per_frame: int = 2048     # = extractor.max_keypoints
+    track_landmarks: int = 4096       # local-map slots fed to the tracker
+    track_recent_kfs: int = 10        # recency window for the local map
 
 
 @dataclasses.dataclass(frozen=True)
@@ -160,11 +171,16 @@ class SlamConfig:
         """Small shapes for fast CPU tests."""
         return SlamConfig(
             camera=CameraConfig(fx=120.0, fy=120.0, cx=64.0, cy=48.0,
-                                baseline=0.2, width=128, height=96),
+                                baseline=0.5, width=128, height=96),
             extractor=ExtractorConfig(num_features=256, num_levels=4,
                                       cell_size=16),
             local_ba=LocalBAConfig(window_keyframes=4, max_points=256),
             map=MapConfig(max_keyframes=64, max_mappoints=2048,
-                          max_obs_per_frame=256),
+                          max_obs_per_frame=256, track_landmarks=512,
+                          track_recent_kfs=6),
+            # search radii scale with image width (reference's 50px/10px
+            # are for 1241px-wide KITTI frames)
+            matcher=MatcherConfig(projection_radius=10.0, loop_radius=4.0),
+            tracker=TrackerConfig(reprojection_px=4.0),
             loop=LoopConfig(vocab_k=4, vocab_levels=3, bow_top_words=64),
         )

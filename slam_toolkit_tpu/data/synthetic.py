@@ -1,0 +1,208 @@
+"""Synthetic stereo world: raycast textured-corridor renderer + GT poses.
+
+The reference's only integration oracle is KITTI with GT poses
+(SURVEY.md §4); since test environments may lack the dataset, this module
+renders a fully 3D-consistent scene: two textured walls and a ground
+plane raycast per pixel, so left/right and consecutive frames are exact
+projections of one static world. Corner-rich block textures give ORB
+plenty of distinctive features; trajectory error on this data isolates
+engine bugs from sensor noise.
+
+Host-side numpy (L7 dataset layer, not device compute).
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple, Tuple
+
+import numpy as np
+
+from slam_toolkit_tpu.config import SlamConfig
+
+
+class PlaneWorld(NamedTuple):
+    cfg: SlamConfig
+    mips: tuple              # mip pyramid of (T, T), (T/2, T/2), ... textures
+    texels_per_m: float
+    half_width: float        # walls at x = +/- half_width
+    ground_y: float          # ground plane at y = ground_y (y points down)
+
+
+def _smooth_noise(size: int, cells: int, amp: float, rng) -> np.ndarray:
+    """Bilinearly upsampled coarse noise: smooth large-scale gradients."""
+    g = rng.uniform(-amp, amp, (cells + 1, cells + 1)).astype(np.float32)
+    idx = np.linspace(0, cells - 1e-6, size)
+    i0 = idx.astype(np.int64)
+    f = (idx - i0).astype(np.float32)
+    rows = g[i0, :] * (1 - f)[:, None] + g[i0 + 1, :] * f[:, None]
+    return rows[:, i0] * (1 - f)[None, :] + rows[:, i0 + 1] * f[None, :]
+
+
+def _block_texture(size: int, cell: int, seed: int) -> np.ndarray:
+    """Blocky value-noise + smooth gradients: abundant FAST corners and
+    tie-free BRIEF comparisons (flat equal-value regions make descriptor
+    bits coin-flips between views)."""
+    rng = np.random.default_rng(seed)
+    coarse = rng.uniform(30.0, 220.0, (size // cell, size // cell))
+    tex = np.kron(coarse, np.ones((cell, cell))).astype(np.float32)
+    # second octave for texture variety inside blocks
+    fine = rng.uniform(-20.0, 20.0, (size // 2, size // 2))
+    tex += np.kron(fine, np.ones((2, 2))).astype(np.float32)[:size, :size]
+    tex += _smooth_noise(size, 16, 35.0, rng)
+    return np.clip(tex, 0.0, 255.0)
+
+
+def _mip_pyramid(tex: np.ndarray, levels: int = 8) -> tuple:
+    mips = [tex]
+    t = tex
+    for _ in range(levels - 1):
+        if t.shape[0] < 2:
+            break
+        t = 0.25 * (t[0::2, 0::2] + t[1::2, 0::2] + t[0::2, 1::2]
+                    + t[1::2, 1::2])
+        mips.append(t.astype(np.float32))
+    return tuple(mips)
+
+
+def make_world(cfg: SlamConfig, seed: int = 0, half_width: float = 6.0,
+               ground_y: float = 1.6, tex_size: int = 512,
+               texels_per_m: float = 24.0, **_compat) -> PlaneWorld:
+    return PlaneWorld(cfg=cfg,
+                      mips=_mip_pyramid(_block_texture(tex_size, 8, seed)),
+                      texels_per_m=texels_per_m,
+                      half_width=half_width,
+                      ground_y=ground_y)
+
+
+def _sample_bilinear(tex: np.ndarray, u: np.ndarray,
+                     v: np.ndarray) -> np.ndarray:
+    """Bilinear texture lookup with wraparound."""
+    t = tex.shape[0]
+    u = np.mod(u, t)
+    v = np.mod(v, t)
+    u0 = np.floor(u).astype(np.int64)
+    v0 = np.floor(v).astype(np.int64)
+    fu = (u - u0).astype(np.float32)
+    fv = (v - v0).astype(np.float32)
+    u1 = (u0 + 1) % t
+    v1 = (v0 + 1) % t
+    return ((tex[v0, u0] * (1 - fu) + tex[v0, u1] * fu) * (1 - fv) +
+            (tex[v1, u0] * (1 - fu) + tex[v1, u1] * fu) * fv)
+
+
+def _sample_tex(mips: tuple, u: np.ndarray, v: np.ndarray,
+                footprint: np.ndarray) -> np.ndarray:
+    """Trilinear mipmapped lookup.
+
+    footprint = texels of the base texture covered by one screen pixel;
+    without it, distant texture aliases and the left/right images differ
+    by sampling noise instead of true appearance.
+    """
+    lod = np.clip(np.log2(np.maximum(footprint, 1e-6)), 0.0,
+                  len(mips) - 1.001)
+    l0 = np.floor(lod).astype(np.int64)
+    fl = (lod - l0).astype(np.float32)
+    out = np.empty(u.shape, np.float32)
+    for lev in range(len(mips) - 1):
+        sel = l0 == lev
+        if not sel.any():
+            continue
+        scale = 0.5 ** lev
+        a = _sample_bilinear(mips[lev], u[sel] * scale, v[sel] * scale)
+        b = _sample_bilinear(mips[lev + 1], u[sel] * scale * 0.5,
+                             v[sel] * scale * 0.5)
+        out[sel] = a * (1 - fl[sel]) + b * fl[sel]
+    return out
+
+
+def render_view(world: PlaneWorld, T_cw: np.ndarray,
+                return_depth: bool = False):
+    """Raycast one camera with pose T_cw (world->cam)."""
+    cam = world.cfg.camera
+    h, w = cam.height, cam.width
+    R = T_cw[:3, :3].astype(np.float64)
+    t = T_cw[:3, 3].astype(np.float64)
+    origin = -R.T @ t                                     # camera center
+    uu, vv = np.meshgrid(np.arange(w), np.arange(h))
+    d_cam = np.stack([(uu - cam.cx) / cam.fx,
+                      (vv - cam.cy) / cam.fy,
+                      np.ones_like(uu, np.float64)], axis=-1)
+    d_w = d_cam @ R                                       # R^T d per pixel
+
+    tpm = world.texels_per_m
+    best_t = np.full((h, w), np.inf)
+    img = np.full((h, w), 30.0, np.float32)               # sky intensity
+
+    # plane list: (axis, offset, tex-u axis, tex-v axis)
+    planes = [
+        (0, -world.half_width, 2, 1),   # left wall:  x = -hw, tex from (z, y)
+        (0, world.half_width, 2, 1),    # right wall: x = +hw
+        (1, world.ground_y, 2, 0),      # ground:     y = gy, tex from (z, x)
+    ]
+    d_norm = np.linalg.norm(d_w, axis=-1)
+    for axis, off, ua, va in planes:
+        dn = d_w[..., axis]
+        with np.errstate(divide='ignore', invalid='ignore'):
+            ti = (off - origin[axis]) / dn
+            hit = (ti > 0.1) & np.isfinite(ti) & (ti < best_t)
+            if not hit.any():
+                continue
+            pt = origin[None, None, :] + np.where(
+                np.isfinite(ti), ti, 0.0)[..., None] * d_w
+        tex_u = pt[..., ua][hit] * tpm
+        tex_v = pt[..., va][hit] * tpm
+        # texel footprint of one pixel: range * angular size / obliquity
+        cosi = np.abs(dn[hit]) / d_norm[hit]
+        rng = ti[hit] * d_norm[hit]
+        footprint = tpm * rng / (cam.fx * np.maximum(cosi, 0.05))
+        img[hit] = _sample_tex(world.mips, tex_u, tex_v, footprint)
+        best_t[hit] = ti[hit]
+
+    if return_depth:
+        # ray param t is the z-depth: p_cam = t * d_cam and d_cam_z = 1
+        depth = np.where(np.isfinite(best_t), best_t, 0.0).astype(np.float32)
+        return img, depth
+    return img
+
+
+def right_pose(T_cw: np.ndarray, baseline: float) -> np.ndarray:
+    """Pose of the right camera: Xr = Xl - (b, 0, 0)."""
+    T = T_cw.copy()
+    T[0, 3] -= baseline
+    return T
+
+
+def render_stereo(world: PlaneWorld, T_cw: np.ndarray,
+                  noise: float = 0.0) -> Tuple[np.ndarray, np.ndarray]:
+    left = render_view(world, T_cw)
+    right = render_view(world, right_pose(T_cw, world.cfg.camera.baseline))
+    if noise > 0.0:
+        rng = np.random.default_rng(int.from_bytes(
+            T_cw.tobytes()[:8], 'little') & 0x7FFFFFFF)
+        left = left + rng.normal(0, noise, left.shape).astype(np.float32)
+        right = right + rng.normal(0, noise, right.shape).astype(np.float32)
+    return left, right
+
+
+def forward_trajectory(n_frames: int, step: float = 0.4,
+                       yaw_rate: float = 0.0) -> List[np.ndarray]:
+    """T_cw per frame for a camera moving along +z, optionally turning."""
+    from slam_toolkit_tpu.geometry import se3
+    import jax.numpy as jnp
+    poses = []
+    T_wc = np.eye(4, dtype=np.float32)
+    for _ in range(n_frames):
+        poses.append(np.linalg.inv(T_wc).astype(np.float32))
+        dT = np.asarray(se3.exp(jnp.asarray(
+            [0.0, 0.0, step, 0.0, yaw_rate, 0.0], dtype=np.float32)))
+        T_wc = T_wc @ dT
+    return poses
+
+
+def make_sequence(cfg: SlamConfig, n_frames: int = 30, seed: int = 0,
+                  step: float = 0.4, yaw_rate: float = 0.0, noise: float = 0.0):
+    """(world, gt T_cw list, [(left, right)] frames)."""
+    world = make_world(cfg, seed=seed)
+    poses = forward_trajectory(n_frames, step, yaw_rate)
+    frames = [render_stereo(world, T, noise) for T in poses]
+    return world, poses, frames

@@ -1,0 +1,74 @@
+"""The per-frame pose tracker: match -> LM -> outlier filter.
+
+Structured like the reference's template method Track = BeforeEstimation
+-> EstimatePose -> RetriveEstimation (ref src/posetracker.cpp:42-51) but
+as one jittable function:
+
+- BeforeEstimation: projection_match of local-map landmarks into the new
+  frame at radius 50 (doubled branch-free if <8 matches,
+  ref :181-197).
+- EstimatePose: 10-iteration damped LM on the 6-DoF pose with all
+  landmarks fixed (ref :53-99).
+- RetriveEstimation: reprojection filter at 10px; outliers are dropped
+  only if >= 8 inliers survive (ref :199-221).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from slam_toolkit_tpu.config import SlamConfig
+from slam_toolkit_tpu.frontend.frame import FrameState
+from slam_toolkit_tpu.frontend.matching import projection_match
+from slam_toolkit_tpu.geometry import camera as cam_mod
+from slam_toolkit_tpu.geometry import se3
+from slam_toolkit_tpu.geometry.camera import StereoCamera
+from slam_toolkit_tpu.optim import pose_lm
+
+
+class TrackResult(NamedTuple):
+    T_cw: jnp.ndarray         # (4, 4) estimated pose
+    mp_kpt: jnp.ndarray       # (L,) int32 keypoint index per landmark
+    mp_inlier: jnp.ndarray    # (L,) bool landmark tracked as inlier
+    n_matches: jnp.ndarray    # () int32 matches fed to LM
+    n_inliers: jnp.ndarray    # () int32 inliers after filtering
+    ok: jnp.ndarray           # () bool tracking healthy (>= min_matches)
+
+
+def track_pose(frame: FrameState, Xw: jnp.ndarray, mp_desc: jnp.ndarray,
+               mp_valid: jnp.ndarray, T_pred: jnp.ndarray,
+               cam: StereoCamera, cfg: SlamConfig) -> TrackResult:
+    """Estimate the frame pose against L fixed landmarks.
+
+    Xw (L, 3) world positions, mp_desc (L, 8), mp_valid (L,) — the local
+    map gathered by the caller. T_pred is the constant-velocity prediction
+    (ref src/pipeline.cpp:154-166).
+    """
+    m = projection_match(Xw, mp_desc, mp_valid, frame.feats, T_pred, cam,
+                         cfg.matcher, cfg.matcher.projection_radius)
+    kpt = m.kpt_idx
+    z_norm = frame.norm_xy[kpt]
+    sigma2 = frame.feats.sigma2[kpt] / (cam.left.fx * cam.left.fx)
+    res = pose_lm.optimize_pose(T_pred, Xw, z_norm, sigma2,
+                                m.ok, cfg.tracker)
+
+    # reprojection filter in *pixels* (ref ReprojectionFilter(10px),
+    # src/posetracker.cpp:106-137)
+    Xc = se3.transform(res.T_cw, Xw)
+    uv = cam_mod.project(cam.left, Xc)
+    err_px = jnp.linalg.norm(uv - frame.feats.xy[kpt], axis=-1)
+    inlier = m.ok & (Xc[..., 2] > 0.0) & (err_px <= cfg.tracker.reprojection_px)
+    # only erase outliers when enough inliers survive (ref :211-217)
+    n_in = jnp.sum(inlier)
+    keep_filtered = n_in >= cfg.tracker.min_matches
+    final = jnp.where(keep_filtered, inlier, m.ok)
+    return TrackResult(
+        T_cw=res.T_cw,
+        mp_kpt=kpt,
+        mp_inlier=final,
+        n_matches=m.n_matches,
+        n_inliers=jnp.sum(final),
+        ok=jnp.sum(final) >= cfg.tracker.min_matches,
+    )

@@ -1,0 +1,218 @@
+"""Hierarchical binary visual vocabulary: train (host) + transform (device).
+
+Replaces vendored DBoW2 (ref thirdparty/DBoW2/DBoW2/TemplatedVocabulary.h):
+- training = hierarchical k-medoids with bitwise-majority centers
+  (the FORB::meanValue construction, ref DBoW2/FORB.cpp:40-77) on packed
+  uint32 descriptors, pure numpy, run offline once per domain;
+- runtime transform = L gather+argmin-over-k steps per descriptor
+  (the greedy tree descent of TemplatedVocabulary.h:1218-1256) over
+  HBM-resident node tables, fully vectorized over a frame's descriptors;
+- BoW vectors are dense [num_words] TF-IDF, L1-normalized
+  (BowVector::normalize, ref DBoW2/BowVector.cpp:61-82), so scoring a
+  query against every keyframe is one masked reduction on the VPU
+  instead of an inverted-file walk (ref src/pipeline_map.cpp:151-272).
+
+The reference ships a 1M-word ORBvoc (k=10, L=6); loop-closure recall on
+a single sequence saturates far below that, so the default here is
+k=10, L=4 (10k words) trained on the target domain. The text format of
+ORBvoc is NOT parsed — descriptors in this engine use their own sampling
+pattern (ops/brief.py), so a foreign vocabulary would mismatch anyway.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+class Vocabulary(NamedTuple):
+    """Flattened vocabulary tree (levels of equal branching k)."""
+    nodes: jnp.ndarray       # (n_nodes, 8) uint32 node centroid descriptors
+    children: jnp.ndarray    # (n_nodes, k) int32 child node ids
+    word_id: jnp.ndarray     # (n_nodes,) int32 leaf word id, -1 internal
+    weights: jnp.ndarray     # (num_words,) float32 IDF weights
+    k: int
+    levels: int
+
+    @property
+    def num_words(self) -> int:
+        return self.weights.shape[0]
+
+
+# ---------------------------------------------------------------------------
+# training (host-side numpy)
+# ---------------------------------------------------------------------------
+
+def _popcount_rows(x: np.ndarray) -> np.ndarray:
+    return np.unpackbits(x.view(np.uint8), axis=-1).sum(-1)
+
+
+def _hamming_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(M, 8) x (N, 8) uint32 -> (M, N) int distances."""
+    x = a[:, None, :] ^ b[None, :, :]
+    return np.unpackbits(x.view(np.uint8), axis=-1).sum(-1)
+
+
+def _majority_center(desc: np.ndarray) -> np.ndarray:
+    """Bitwise-majority 'mean' of packed descriptors (FORB::meanValue)."""
+    bits = np.unpackbits(desc.view(np.uint8), axis=-1)   # (N, 256)
+    maj = (bits.sum(0) * 2 >= bits.shape[0]).astype(np.uint8)
+    return np.packbits(maj).view(np.uint32)
+
+
+def _kmeans_binary(desc: np.ndarray, k: int, rng, iters: int = 8):
+    """k-medoids-style clustering of binary descriptors."""
+    n = desc.shape[0]
+    if n <= k:
+        return desc.copy(), np.arange(n) % max(n, 1)
+    centers = desc[rng.choice(n, k, replace=False)]
+    assign = np.zeros(n, np.int64)
+    for _ in range(iters):
+        dist = _hamming_np(desc, centers)
+        assign = dist.argmin(1)
+        for c in range(k):
+            sel = assign == c
+            if sel.any():
+                centers[c] = _majority_center(desc[sel])
+            else:  # re-seed dead cluster at the farthest point
+                far = dist.min(1).argmax()
+                centers[c] = desc[far]
+    return centers, assign
+
+
+def train(descriptors: np.ndarray, k: int = 10, levels: int = 4,
+          seed: int = 0, max_train: int = 100_000) -> Vocabulary:
+    """Build the tree from a (N, 8) uint32 training corpus."""
+    rng = np.random.default_rng(seed)
+    desc = np.asarray(descriptors, np.uint32)
+    if desc.shape[0] > max_train:
+        desc = desc[rng.choice(desc.shape[0], max_train, replace=False)]
+
+    nodes = [np.zeros(8, np.uint32)]          # root (unused centroid)
+    children = [np.full(k, -1, np.int64)]
+    level_of = [0]
+    word_of = [-1]
+
+    def grow(node_id: int, data: np.ndarray, level: int):
+        if level == levels or data.shape[0] == 0:
+            return
+        centers, assign = _kmeans_binary(data, k, rng)
+        for c in range(min(k, centers.shape[0])):
+            cid = len(nodes)
+            nodes.append(centers[c])
+            children.append(np.full(k, -1, np.int64))
+            level_of.append(level + 1)
+            word_of.append(-1)
+            children[node_id][c] = cid
+            grow(cid, data[assign == c], level + 1)
+
+    grow(0, desc, 0)
+
+    # assign word ids to leaves (level == levels or childless nodes)
+    n_nodes = len(nodes)
+    word_id = np.full(n_nodes, -1, np.int64)
+    wid = 0
+    for i in range(n_nodes):
+        is_leaf = (level_of[i] == levels) or \
+            (i > 0 and (children[i] < 0).all())
+        if is_leaf:
+            word_id[i] = wid
+            wid += 1
+    # childless internal nodes: point empty child slots at self so the
+    # descent loop stays well-defined (it will stop progressing)
+    ch = np.stack(children)
+    for i in range(n_nodes):
+        ch[i][ch[i] < 0] = i
+
+    # IDF weights from the training corpus
+    words = _transform_words_np(desc, np.stack(nodes), ch, word_id,
+                                k, levels)
+    counts = np.bincount(words[words >= 0], minlength=wid).astype(np.float64)
+    n_docs = max(desc.shape[0], 1)
+    idf = np.log(n_docs / np.maximum(counts, 1.0))
+    idf = np.maximum(idf, 1e-3)
+
+    return Vocabulary(
+        nodes=jnp.asarray(np.stack(nodes), jnp.uint32),
+        children=jnp.asarray(ch, jnp.int32),
+        word_id=jnp.asarray(word_id, jnp.int32),
+        weights=jnp.asarray(idf, jnp.float32),
+        k=k, levels=levels)
+
+
+def _transform_words_np(desc, nodes, children, word_id, k, levels):
+    cur = np.zeros(desc.shape[0], np.int64)
+    for _ in range(levels):
+        ch = children[cur]                       # (N, k)
+        cand = nodes[ch]                         # (N, k, 8)
+        x = cand ^ desc[:, None, :]
+        d = np.unpackbits(x.view(np.uint8), axis=-1).sum(-1)
+        # self-children (padding) must never win over real children
+        d = np.where(ch == cur[:, None], 1 << 30, d)
+        nxt = ch[np.arange(desc.shape[0]), d.argmin(1)]
+        cur = np.where(word_id[cur] >= 0, cur, nxt)  # stop at leaves
+    return word_id[cur]
+
+
+def save(voc: Vocabulary, path: str) -> None:
+    np.savez_compressed(path, nodes=np.asarray(voc.nodes),
+                        children=np.asarray(voc.children),
+                        word_id=np.asarray(voc.word_id),
+                        weights=np.asarray(voc.weights),
+                        k=voc.k, levels=voc.levels)
+
+
+def load(path: str) -> Vocabulary:
+    z = np.load(path)
+    return Vocabulary(nodes=jnp.asarray(z["nodes"]),
+                      children=jnp.asarray(z["children"]),
+                      word_id=jnp.asarray(z["word_id"]),
+                      weights=jnp.asarray(z["weights"]),
+                      k=int(z["k"]), levels=int(z["levels"]))
+
+
+# ---------------------------------------------------------------------------
+# runtime (device, jit-safe)
+# ---------------------------------------------------------------------------
+
+def descriptor_words(voc: Vocabulary, desc: jnp.ndarray,
+                     valid: jnp.ndarray) -> jnp.ndarray:
+    """(K, 8) descriptors -> (K,) word ids (-1 for invalid slots)."""
+    import jax
+    K = desc.shape[0]
+    cur = jnp.zeros((K,), jnp.int32)
+    for _ in range(voc.levels):
+        ch = voc.children[cur]                     # (K, k)
+        cand = voc.nodes[ch]                       # (K, k, 8)
+        x = jnp.bitwise_xor(cand, desc[:, None, :])
+        d = jnp.sum(jax.lax.population_count(x).astype(jnp.int32), axis=-1)
+        d = jnp.where(ch == cur[:, None], 1 << 30, d)
+        nxt = jnp.take_along_axis(ch, jnp.argmin(d, axis=1)[:, None],
+                                  axis=1)[:, 0]
+        at_leaf = voc.word_id[cur] >= 0
+        cur = jnp.where(at_leaf, cur, nxt)
+    words = voc.word_id[cur]
+    return jnp.where(valid, words, -1)
+
+
+def bow_vector(voc: Vocabulary, desc: jnp.ndarray,
+               valid: jnp.ndarray) -> jnp.ndarray:
+    """Dense L1-normalized TF-IDF BoW vector (num_words,)."""
+    words = descriptor_words(voc, desc, valid)
+    w = voc.num_words
+    safe = jnp.where(words >= 0, words, w)
+    hist = jnp.zeros((w + 1,)).at[safe].add(1.0)[:w]
+    vec = hist * voc.weights
+    norm = jnp.sum(jnp.abs(vec))
+    return vec / jnp.maximum(norm, 1e-12)
+
+
+def l1_score(query: jnp.ndarray, database: jnp.ndarray) -> jnp.ndarray:
+    """DBoW2 L1 similarity of one BoW vector against many.
+
+    s = 1 - 0.5 * |q - d|_1 for L1-normalized vectors, in [0, 1]
+    (ref DBoW2/ScoringObject.cpp:23-67). database: (F, W).
+    """
+    return 1.0 - 0.5 * jnp.sum(jnp.abs(database - query[None, :]), axis=-1)

@@ -1,0 +1,137 @@
+"""MapState <-> BAProblem adapter: the local-mapping step.
+
+Plays the role of StandardLocalMapper::InitializeGraph + retrieval
+(ref src/localmapper.cpp:39-120, :140-160): select the local window,
+assemble the fixed-shape BA problem, solve, and write poses + inverse
+depths back into the map — all as one jitted pure function.
+
+Window selection uses keyframe recency (the W most recent keyframes,
+oldest fixed as gauge, ref :62-75). Landmarks are every mappoint
+observed in the window, newest-first, up to the P-slot capacity.
+Results are written back exactly like the reference's RetriveStructure
+(src/method.cpp:118-126): optimized Xw is re-encoded as inverse depth
+along the anchor keyframe's (possibly updated) ray.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from slam_toolkit_tpu.config import SlamConfig
+from slam_toolkit_tpu.geometry import se3
+from slam_toolkit_tpu.geometry.camera import StereoCamera
+from slam_toolkit_tpu.mapping.map_state import MapState, mappoint_positions_at
+from slam_toolkit_tpu.optim.local_ba import BAProblem, BAResult, solve_ba
+
+
+def select_window(m: MapState, W: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(slots (W,), valid (W,)): the W most recent keyframes, newest first."""
+    fid = jnp.where(m.kf_valid, m.kf_frame_id, -1)
+    vals, slots = jax.lax.top_k(fid, W)
+    return slots.astype(jnp.int32), vals >= 0
+
+
+def select_points(m: MapState, window: jnp.ndarray, P: int):
+    """Up to P distinct mappoints observed by the window keyframes."""
+    M = m.mp_valid.shape[0]
+    ids = m.kf_obs[window].reshape(-1)
+    ids = jnp.where(ids >= 0, ids, M)
+    sorted_ids = jnp.sort(ids)
+    first = jnp.concatenate([jnp.ones(1, bool),
+                             sorted_ids[1:] != sorted_ids[:-1]])
+    uniq = jnp.where(first & (sorted_ids < M), sorted_ids, M)
+    uniq = jnp.sort(uniq)[:P].astype(jnp.int32)
+    ok = uniq < M
+    safe = jnp.where(ok, uniq, 0)
+    return safe, ok & m.mp_valid[safe]
+
+
+def build_problem(m: MapState, cam: StereoCamera,
+                  cfg: SlamConfig) -> Tuple[BAProblem, jnp.ndarray,
+                                            jnp.ndarray]:
+    W = cfg.local_ba.window_keyframes
+    P = cfg.local_ba.max_points
+    K = m.kf_obs.shape[1]
+    window, win_valid = select_window(m, W)
+    pt_ids, pt_valid = select_points(m, window, P)
+
+    # rank lookup: mappoint id -> dense point index (P = not selected)
+    rank = jnp.full((m.mp_valid.shape[0] + 1,), P, jnp.int32)
+    rank = rank.at[jnp.where(pt_valid, pt_ids, m.mp_valid.shape[0])].set(
+        jnp.arange(P, dtype=jnp.int32))
+
+    # scatter observations into (W, P) via the padded-column trick
+    obs_ids = m.kf_obs[window]                         # (W, K)
+    ranks = rank[jnp.where(obs_ids >= 0, obs_ids, m.mp_valid.shape[0])]
+    w_idx = jnp.broadcast_to(jnp.arange(W)[:, None], (W, K))
+
+    def scatter(vals, init, extra_dim=()):
+        buf = jnp.zeros((W, P + 1) + extra_dim, vals.dtype) + init
+        buf = buf.at[w_idx, ranks].set(vals)
+        return buf[:, :P]
+
+    norm = m.kf_norm[window]                           # (W, K, 2)
+    rxn = m.kf_right_x_norm[window]                    # (W, K)
+    zt = jnp.concatenate([norm, rxn[..., None]], axis=-1)
+    z = scatter(zt, 0.0, (3,))
+    sigma2_n = m.kf_sigma2[window] / (cam.left.fx * cam.left.fx)
+    inv_sigma = scatter(jax.lax.rsqrt(jnp.maximum(sigma2_n, 1e-12)), 1.0)
+    obs_mask = scatter(obs_ids >= 0, False)
+    stereo_mask = scatter(m.kf_has_stereo[window], False) & obs_mask
+
+    Xw = mappoint_positions_at(m, pt_ids)
+    # gauge: the OLDEST valid keyframe in the window is fixed (ref :62-75);
+    # if only one KF exists, it is fixed trivially.
+    fid = jnp.where(win_valid, m.kf_frame_id[window], jnp.iinfo(jnp.int32).max)
+    oldest = jnp.argmin(fid)
+    pose_fixed = jnp.zeros((W,), bool).at[oldest].set(True)
+
+    prob = BAProblem(
+        T_cw=m.kf_T_cw[window],
+        pose_fixed=pose_fixed | ~win_valid,
+        pose_valid=win_valid,
+        Xw=Xw,
+        point_valid=pt_valid,
+        z=z,
+        inv_sigma=inv_sigma,
+        obs_mask=obs_mask,
+        stereo_mask=stereo_mask,
+        baseline=cam.baseline,
+    )
+    return prob, window, pt_ids
+
+
+def write_back(m: MapState, res: BAResult, window: jnp.ndarray,
+               win_valid: jnp.ndarray, pose_fixed: jnp.ndarray,
+               pt_ids: jnp.ndarray, pt_valid: jnp.ndarray) -> MapState:
+    # poses
+    upd = win_valid & ~pose_fixed
+    new_T = jnp.where(upd[:, None, None], res.T_cw, m.kf_T_cw[window])
+    kf_T_cw = m.kf_T_cw.at[window].set(new_T)
+
+    # points: invd along anchor ray (RetriveStructure, method.cpp:118-126)
+    ref = m.mp_ref_kf[pt_ids]
+    z_ref = se3.transform(kf_T_cw[ref], res.Xw)[..., 2]
+    invd_new = 1.0 / jnp.maximum(z_ref, 1e-3)
+    # dump invalid writes into a padding slot (index M), then slice it off
+    M = m.mp_valid.shape[0]
+    dump_ids = jnp.where(pt_valid, pt_ids, M)
+    mp_invd = jnp.concatenate([m.mp_invd, jnp.zeros(1)]) \
+        .at[dump_ids].set(invd_new)[:M]
+    return m._replace(kf_T_cw=kf_T_cw, mp_invd=mp_invd)
+
+
+def local_ba_step(m: MapState, cam: StereoCamera, cfg: SlamConfig) -> MapState:
+    """One local-BA pass over the current window (the mapping-thread work,
+    ref src/pipeline.cpp:137-138)."""
+    prob, window, pt_ids = build_problem(m, cam, cfg)
+    res = solve_ba(prob, iters=cfg.local_ba.num_iterations,
+                   huber_delta=cfg.local_ba.huber_delta,
+                   lambda0=cfg.local_ba.lm_lambda0,
+                   lambda_up=cfg.local_ba.lm_lambda_up,
+                   lambda_down=cfg.local_ba.lm_lambda_down)
+    return write_back(m, res, window, prob.pose_valid, prob.pose_fixed,
+                      pt_ids, prob.point_valid)

@@ -1,0 +1,223 @@
+"""The global map as one fixed-capacity pytree of arrays.
+
+TPU-native replacement for the reference's pointer graph
+(PipelineMap / Frame* / Mappoint* webs with per-object mutexes,
+ref include/pipeline_map.h, include/frame.h:131-143,
+include/mappoint.h:31-69). Design per SURVEY.md §7.1:
+
+- struct-of-arrays with static capacities; "deleted" = valid mask False
+  (EraseMappoint / SetBad / CullingOldFrames all become mask updates)
+- mappoints keep the reference's anchored inverse-depth parametrization
+  (ref src/mappoint.cpp:128-138): world point reconstructed on demand as
+  Xw = T_wc_ref . (ray * 1/invd)
+- observations: kf_obs[f, k] = mappoint id seen at keypoint k of keyframe
+  slot f (-1 if none) — the bidirectional mappoints_/mappoints_index_
+  maps of ref src/frame.cpp:281-343 collapse into this single array
+- covisibility is computed on demand from kf_obs instead of being
+  maintained as mutable neighbor sets (ref src/frame.cpp:469-559)
+
+All update functions are pure: MapState in, MapState out, jit-safe.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from slam_toolkit_tpu.config import SlamConfig
+from slam_toolkit_tpu.frontend.frame import FrameState
+from slam_toolkit_tpu.geometry import se3
+
+
+class MapState(NamedTuple):
+    # --- keyframes (capacity F, keypoint slots K) ---
+    kf_T_cw: jnp.ndarray        # (F, 4, 4)
+    kf_valid: jnp.ndarray       # (F,) bool
+    kf_frame_id: jnp.ndarray    # (F,) int32 global frame index, -1 empty
+    kf_xy: jnp.ndarray          # (F, K, 2) pixel coords
+    kf_norm: jnp.ndarray        # (F, K, 2) normalized coords
+    kf_desc: jnp.ndarray        # (F, K, 8) uint32
+    kf_sigma2: jnp.ndarray      # (F, K) per-octave variance (pixel^2)
+    kf_kpt_valid: jnp.ndarray   # (F, K) bool
+    kf_right_x_norm: jnp.ndarray  # (F, K) normalized right x (stereo)
+    kf_has_stereo: jnp.ndarray  # (F, K) bool
+    kf_obs: jnp.ndarray         # (F, K) int32 mappoint id, -1 none
+    # --- mappoints (capacity M) ---
+    mp_ref_kf: jnp.ndarray      # (M,) int32 anchor keyframe slot
+    mp_kpt: jnp.ndarray         # (M,) int32 anchor keypoint index
+    mp_invd: jnp.ndarray        # (M,) float32 inverse depth (>= 1e-3)
+    mp_desc: jnp.ndarray        # (M, 8) uint32 anchor descriptor
+    mp_valid: jnp.ndarray       # (M,) bool
+    mp_obs_count: jnp.ndarray   # (M,) int32 number of observing keyframes
+
+    @property
+    def capacity(self) -> Tuple[int, int]:
+        return self.kf_valid.shape[0], self.mp_valid.shape[0]
+
+
+def empty_map(cfg: SlamConfig) -> MapState:
+    f = cfg.map.max_keyframes
+    k = cfg.extractor.max_keypoints
+    m = cfg.map.max_mappoints
+    return MapState(
+        kf_T_cw=jnp.tile(jnp.eye(4), (f, 1, 1)),
+        kf_valid=jnp.zeros(f, bool),
+        kf_frame_id=jnp.full((f,), -1, jnp.int32),
+        kf_xy=jnp.zeros((f, k, 2)),
+        kf_norm=jnp.zeros((f, k, 2)),
+        kf_desc=jnp.zeros((f, k, 8), jnp.uint32),
+        kf_sigma2=jnp.ones((f, k)),
+        kf_kpt_valid=jnp.zeros((f, k), bool),
+        kf_right_x_norm=jnp.zeros((f, k)),
+        kf_has_stereo=jnp.zeros((f, k), bool),
+        kf_obs=jnp.full((f, k), -1, jnp.int32),
+        mp_ref_kf=jnp.zeros(m, jnp.int32),
+        mp_kpt=jnp.zeros(m, jnp.int32),
+        mp_invd=jnp.full((m,), 1e-3),
+        mp_desc=jnp.zeros((m, 8), jnp.uint32),
+        mp_valid=jnp.zeros(m, bool),
+        mp_obs_count=jnp.zeros(m, jnp.int32),
+    )
+
+
+def mappoint_positions(m: MapState) -> jnp.ndarray:
+    """(M, 3) world positions: Xw = T_wc_ref . (ray / invd).
+
+    Mirrors Mappoint::GetXw (ref src/mappoint.cpp:128-138) as one batched
+    gather + transform. Invalid points land at the origin (masked later).
+    """
+    norm = m.kf_norm[m.mp_ref_kf, m.mp_kpt]             # (M, 2)
+    invd = jnp.maximum(m.mp_invd, 1e-3)
+    ray = jnp.concatenate([norm, jnp.ones_like(invd)[:, None]], axis=-1)
+    Xc = ray / invd[:, None]
+    T_wc = se3.inv(m.kf_T_cw[m.mp_ref_kf])
+    Xw = se3.transform(T_wc, Xc)
+    return jnp.where(m.mp_valid[:, None], Xw, 0.0)
+
+
+def allocate_slots(free: jnp.ndarray, want: jnp.ndarray,
+                   num: int) -> jnp.ndarray:
+    """First-free-slot allocation, shape-static.
+
+    free: (N,) bool availability; want: (num,) bool which requests are
+    real. Returns (num,) int32 slot ids (arbitrary-but-unused for masked
+    requests). Allocation = the i-th real request gets the i-th free slot.
+    """
+    order = jnp.argsort(~free)            # free slots first, stable
+    rank = jnp.cumsum(want.astype(jnp.int32)) - 1
+    rank = jnp.clip(rank, 0, order.shape[0] - 1)
+    return order[rank].astype(jnp.int32)
+
+
+def insert_keyframe(m: MapState, frame: FrameState, T_cw: jnp.ndarray,
+                    frame_id: jnp.ndarray, mp_ids: jnp.ndarray,
+                    mp_kpt: jnp.ndarray, mp_tracked: jnp.ndarray,
+                    cfg: SlamConfig) -> Tuple[MapState, jnp.ndarray]:
+    """Insert `frame` as a keyframe and supply new mappoints.
+
+    mp_ids/mp_kpt/mp_tracked: the tracking result — landmark id (into the
+    mappoint table), its matched keypoint index, and the inlier mask.
+    Equivalent to Frame::SetKeyframe + SupplyMappoints + AddFrame
+    (ref src/frame.cpp:444-463, :235-255; src/pipeline_map.cpp:131-149).
+
+    Returns (new_map, kf_slot).
+    """
+    K = frame.feats.xy.shape[0]
+    slot = jnp.argmin(m.kf_valid.astype(jnp.int32))  # first free KF slot
+
+    # --- record tracked observations: kpt k of this KF sees mp_ids[i] ---
+    obs_row = jnp.full((K,), -1, jnp.int32)
+    scatter_kpt = jnp.where(mp_tracked, mp_kpt, K)   # K = dropped
+    obs_row = jnp.zeros((K + 1,), jnp.int32).at[:K].set(-1) \
+        .at[scatter_kpt].set(jnp.where(mp_tracked, mp_ids, -1))[:K]
+
+    # --- supply new mappoints at stereo keypoints with no landmark ---
+    has_mp = obs_row >= 0
+    new_mask = frame.feats.valid & frame.has_stereo & ~has_mp
+    new_slots = allocate_slots(~m.mp_valid, new_mask, K)
+    kpt_idx = jnp.arange(K, dtype=jnp.int32)
+    invd_new = 1.0 / jnp.maximum(frame.depth, 1e-3)
+
+    mp_ref_kf = m.mp_ref_kf.at[new_slots].set(
+        jnp.where(new_mask, slot, m.mp_ref_kf[new_slots]))
+    mp_kpt_arr = m.mp_kpt.at[new_slots].set(
+        jnp.where(new_mask, kpt_idx, m.mp_kpt[new_slots]))
+    mp_invd = m.mp_invd.at[new_slots].set(
+        jnp.where(new_mask, invd_new, m.mp_invd[new_slots]))
+    mp_desc = m.mp_desc.at[new_slots].set(
+        jnp.where(new_mask[:, None], frame.feats.desc, m.mp_desc[new_slots]))
+    mp_valid = m.mp_valid.at[new_slots].set(
+        jnp.where(new_mask, True, m.mp_valid[new_slots]))
+
+    # register the new mappoints as observations of this KF
+    obs_row = jnp.where(new_mask, new_slots, obs_row)
+
+    # bump observation counts: tracked landmarks +1, new landmarks = 1
+    tracked_ids = jnp.where(mp_tracked, mp_ids,
+                            m.mp_obs_count.shape[0])  # overflow slot
+    obs_count = jnp.concatenate([m.mp_obs_count, jnp.zeros(1, jnp.int32)])
+    obs_count = obs_count.at[tracked_ids].add(1)[:-1]
+    obs_count = obs_count.at[new_slots].set(
+        jnp.where(new_mask, 1, obs_count[new_slots]))
+
+    new_m = m._replace(
+        kf_T_cw=m.kf_T_cw.at[slot].set(T_cw),
+        kf_valid=m.kf_valid.at[slot].set(True),
+        kf_frame_id=m.kf_frame_id.at[slot].set(frame_id.astype(jnp.int32)),
+        kf_xy=m.kf_xy.at[slot].set(frame.feats.xy),
+        kf_norm=m.kf_norm.at[slot].set(frame.norm_xy),
+        kf_desc=m.kf_desc.at[slot].set(frame.feats.desc),
+        kf_sigma2=m.kf_sigma2.at[slot].set(frame.feats.sigma2),
+        kf_kpt_valid=m.kf_kpt_valid.at[slot].set(frame.feats.valid),
+        kf_right_x_norm=m.kf_right_x_norm.at[slot].set(frame.right_x_norm),
+        kf_has_stereo=m.kf_has_stereo.at[slot].set(frame.has_stereo),
+        kf_obs=m.kf_obs.at[slot].set(obs_row),
+        mp_ref_kf=mp_ref_kf,
+        mp_kpt=mp_kpt_arr,
+        mp_invd=mp_invd,
+        mp_desc=mp_desc,
+        mp_valid=mp_valid,
+        mp_obs_count=obs_count,
+    )
+    return new_m, slot
+
+
+def gather_local_landmarks(m: MapState, num_out: int,
+                           recent: int = 10):
+    """Mappoints observed by the `recent` most recently inserted keyframes.
+
+    Returns (Xw (L,3), desc (L,8), ids (L,), valid (L,)) with L = num_out.
+    Replaces the covisibility walk + latest-frames fuse of
+    ref src/pipeline.cpp:167-177 with a recency window (equivalent for
+    odometry; loop-revisit recall comes from the loop-closing path).
+    """
+    F = m.kf_valid.shape[0]
+    # rank keyframes by insertion recency: frame_id, invalid -> -1
+    fid = jnp.where(m.kf_valid, m.kf_frame_id, -1)
+    _, recent_slots = jax.lax.top_k(fid, recent)
+    ids = m.kf_obs[recent_slots].reshape(-1)            # (recent*K,)
+    ids = jnp.where(ids >= 0, ids, m.mp_valid.shape[0])
+    # dedupe via sort; invalid sentinel sorts last
+    sorted_ids = jnp.sort(ids)
+    first = jnp.concatenate([jnp.ones(1, bool),
+                             sorted_ids[1:] != sorted_ids[:-1]])
+    uniq = jnp.where(first & (sorted_ids < m.mp_valid.shape[0]),
+                     sorted_ids, m.mp_valid.shape[0])
+    uniq = jnp.sort(uniq)[:num_out].astype(jnp.int32)
+    ok = uniq < m.mp_valid.shape[0]
+    safe = jnp.where(ok, uniq, 0)
+    Xw = mappoint_positions_at(m, safe)
+    valid = ok & m.mp_valid[safe]
+    return Xw, m.mp_desc[safe], safe, valid
+
+
+def mappoint_positions_at(m: MapState, ids: jnp.ndarray) -> jnp.ndarray:
+    """World positions for a subset of mappoint ids (gather version)."""
+    norm = m.kf_norm[m.mp_ref_kf[ids], m.mp_kpt[ids]]
+    invd = jnp.maximum(m.mp_invd[ids], 1e-3)
+    ray = jnp.concatenate([norm, jnp.ones_like(invd)[:, None]], axis=-1)
+    Xc = ray / invd[:, None]
+    T_wc = se3.inv(m.kf_T_cw[m.mp_ref_kf[ids]])
+    return se3.transform(T_wc, Xc)

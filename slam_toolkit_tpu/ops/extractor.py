@@ -59,7 +59,10 @@ def extract(image: jnp.ndarray, cfg: ExtractorConfig) -> FrameFeatures:
         # report the true (un-boosted) response, not the ranking value
         ix = xy.astype(jnp.int32)
         resp = jnp.where(valid, score_lo[ix[:, 1], ix[:, 0]], 0.0)
-        angle = brief.ic_angle(img_l, xy)
+        if cfg.steer_rotation:
+            angle = brief.ic_angle(img_l, xy)
+        else:
+            angle = jnp.zeros((n_l,), jnp.float32)
         blurred = pyramid.gaussian_blur(img_l, 7, cfg.blur_sigma)
         desc = brief.compute_descriptors(blurred, xy, angle)
         scale = cfg.scale_factor ** lvl

@@ -88,6 +88,7 @@ class LocalBAConfig:
     max_points: int = 1024            # mappoint slots in one BA problem
     max_obs_per_point: int = 8        # observations kept per point
     huber_delta: float = 2.4477468
+    trim_sigma: float = 5.0           # hard outlier trim (whitened sigma)
     lm_lambda0: float = 1e-4
     lm_lambda_up: float = 10.0
     lm_lambda_down: float = 0.1
@@ -111,6 +112,10 @@ class LoopConfig:
     min_covisibility: int = 20
     min_score_ratio: float = 0.7      # minScore = 0.7 * best-neighbor score
     consistency_threshold: int = 5    # consecutive-KF consistency groups
+    min_kf_gap: int = 10              # candidates must be >= this many
+    #                                   keyframes older than the query
+    #                                   (covisibility exclusion alone is
+    #                                   thinner here than in the reference)
     min_matches: int = 8              # relative-pose acceptance
     posegraph_iterations: int = 20
     info_translation: float = 100.0   # anisotropic odometry-edge info
@@ -126,7 +131,7 @@ class LoopConfig:
 class MapConfig:
     """Fixed-capacity map state (replaces pointer-graph PipelineMap)."""
 
-    max_keyframes: int = 512          # keyframe ring capacity
+    max_keyframes: int = 1024         # keyframe ring capacity
     max_mappoints: int = 16384        # landmark table capacity
     recent_frames: int = 16           # non-keyframe pose history kept on device
     max_obs_per_frame: int = 2048     # = extractor.max_keypoints

@@ -26,6 +26,7 @@ class PlaneWorld(NamedTuple):
     texels_per_m: float
     half_width: float        # walls at x = +/- half_width
     ground_y: float          # ground plane at y = ground_y (y points down)
+    half_length: float = 0.0  # if > 0, also walls at z = +/- half_length (box room)
 
 
 def _smooth_noise(size: int, cells: int, amp: float, rng) -> np.ndarray:
@@ -66,12 +67,15 @@ def _mip_pyramid(tex: np.ndarray, levels: int = 8) -> tuple:
 
 def make_world(cfg: SlamConfig, seed: int = 0, half_width: float = 6.0,
                ground_y: float = 1.6, tex_size: int = 512,
-               texels_per_m: float = 24.0, **_compat) -> PlaneWorld:
+               texels_per_m: float = 24.0, half_length: float = 0.0,
+               **_compat) -> PlaneWorld:
+    """half_length > 0 closes the corridor into a box room (loop tests)."""
     return PlaneWorld(cfg=cfg,
                       mips=_mip_pyramid(_block_texture(tex_size, 8, seed)),
                       texels_per_m=texels_per_m,
                       half_width=half_width,
-                      ground_y=ground_y)
+                      ground_y=ground_y,
+                      half_length=half_length)
 
 
 def _sample_bilinear(tex: np.ndarray, u: np.ndarray,
@@ -139,6 +143,11 @@ def render_view(world: PlaneWorld, T_cw: np.ndarray,
         (0, world.half_width, 2, 1),    # right wall: x = +hw
         (1, world.ground_y, 2, 0),      # ground:     y = gy, tex from (z, x)
     ]
+    if world.half_length > 0.0:
+        planes += [
+            (2, -world.half_length, 0, 1),  # back wall:  z = -hl
+            (2, world.half_length, 0, 1),   # front wall: z = +hl
+        ]
     d_norm = np.linalg.norm(d_w, axis=-1)
     for axis, off, ua, va in planes:
         dn = d_w[..., axis]

@@ -44,6 +44,12 @@ def stereo_match(left: FrameFeatures, right: FrameFeatures,
             same_octave)
     dist = hamming.masked_distance(left.desc, right.desc, mask)
     idx, ok = hamming.ratio_test_match(dist, cfg.ratio, cfg.max_hamming)
+    # mutual-consistency: the matched right keypoint's own best left
+    # keypoint must be this one (cuts the wrong-match tail that otherwise
+    # injects gross stereo-depth outliers into BA)
+    back = jnp.argmin(dist, axis=0)
+    mutual = back[idx] == jnp.arange(idx.shape[0])
+    ok = ok & mutual
     right_x = right.xy[idx, 0]
     depth = cam_mod.stereo_depth(cam, left.xy[:, 0], right_x)
     ok = ok & (depth > 0.0)

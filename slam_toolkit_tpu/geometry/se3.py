@@ -35,12 +35,18 @@ def vee(W: jnp.ndarray) -> jnp.ndarray:
 
 
 def _so3_coeffs(theta2: jnp.ndarray):
-    """Rodrigues coefficients A=sin/t, B=(1-cos)/t^2, C=(1-A)/t^2, stable at 0."""
+    """Rodrigues coefficients A=sin/t, B=(1-cos)/t^2, C=(1-A)/t^2, stable at 0.
+
+    Both `where` branches are NaN-free (0/0 at theta=0 would otherwise
+    poison jax_debug_nans runs and reverse-mode gradients).
+    """
     theta = jnp.sqrt(jnp.maximum(theta2, _EPS * _EPS))
     small = theta2 < 1e-8
+    t2_safe = jnp.where(small, 1.0, theta2)
     a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
-    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2)
-    c = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0, (1.0 - a) / theta2)
+    b = jnp.where(small, 0.5 - theta2 / 24.0,
+                  (1.0 - jnp.cos(theta)) / t2_safe)
+    c = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0, (1.0 - a) / t2_safe)
     return a, b, c
 
 

@@ -1,0 +1,175 @@
+"""Loop closing: relative pose, pose-graph correction, mappoint merge.
+
+Replaces LoopCloser (ref src/loopcloser.cpp):
+- GetRelativePose (:51-100): re-track the current keyframe against the
+  candidate's mappoints with the candidate's pose as prediction, accept
+  if > min_matches inliers survive the reprojection filter;
+- CloseLoop (:104-220): SE(3) pose graph over all keyframes — odometry
+  chain edges with anisotropic information (:113-116), the new loop edge
+  plus all previously closed loops (:160-185,191), oldest keyframe fixed
+  (:158) — here one jitted dense solve (optim/pose_graph.py). The
+  reference must rigidly re-attach non-keyframes and recompute mappoint
+  positions; our anchored inverse-depth mappoints follow their keyframes
+  automatically;
+- CombineNeighborMappoints (:223-299): duplicate landmarks merged by
+  projection-matching loop-side mappoints into the current keyframe and
+  redirecting every observation of the loser to the winner.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from slam_toolkit_tpu.config import SlamConfig
+from slam_toolkit_tpu.frontend.matching import projection_match
+from slam_toolkit_tpu.geometry import camera as cam_mod
+from slam_toolkit_tpu.geometry import se3
+from slam_toolkit_tpu.geometry.camera import StereoCamera
+from slam_toolkit_tpu.mapping.map_state import MapState, mappoint_positions_at
+from slam_toolkit_tpu.ops.extractor import FrameFeatures
+from slam_toolkit_tpu.optim import pose_lm
+from slam_toolkit_tpu.optim.pose_graph import PoseGraphProblem, solve_pose_graph
+
+
+class RelPoseResult(NamedTuple):
+    T_cw: jnp.ndarray      # corrected pose of the current keyframe
+    n_inliers: jnp.ndarray
+    ok: jnp.ndarray
+
+
+def _kf_features(m: MapState, slot: jnp.ndarray) -> FrameFeatures:
+    """Rebuild a FrameFeatures view from stored keyframe arrays."""
+    k = m.kf_xy.shape[1]
+    return FrameFeatures(
+        xy=m.kf_xy[slot], response=jnp.zeros((k,)),
+        octave=jnp.zeros((k,), jnp.int32), angle=jnp.zeros((k,)),
+        sigma2=m.kf_sigma2[slot], desc=m.kf_desc[slot],
+        valid=m.kf_kpt_valid[slot])
+
+
+def relative_pose(m: MapState, cur_slot: jnp.ndarray, cand_slot: jnp.ndarray,
+                  cam: StereoCamera, cfg: SlamConfig) -> RelPoseResult:
+    """Track the current KF against the candidate's landmarks
+    (ref src/loopcloser.cpp:51-100, prediction = candidate pose)."""
+    ids = m.kf_obs[cand_slot]                       # (K,)
+    safe = jnp.where(ids >= 0, ids, 0)
+    valid = (ids >= 0) & m.mp_valid[safe]
+    Xw = mappoint_positions_at(m, safe)
+    desc = m.mp_desc[safe]
+
+    feats = _kf_features(m, cur_slot)
+    T_pred = m.kf_T_cw[cand_slot]
+    match = projection_match(Xw, desc, valid, feats, T_pred, cam,
+                             cfg.matcher, cfg.matcher.projection_radius)
+    kpt = match.kpt_idx
+    z_norm = m.kf_norm[cur_slot][kpt]
+    sigma2 = m.kf_sigma2[cur_slot][kpt] / (cam.left.fx * cam.left.fx)
+    res = pose_lm.optimize_pose(T_pred, Xw, z_norm, sigma2, match.ok,
+                                cfg.tracker)
+    Xc = se3.transform(res.T_cw, Xw)
+    uv = cam_mod.project(cam.left, Xc)
+    err = jnp.linalg.norm(uv - m.kf_xy[cur_slot][kpt], axis=-1)
+    inlier = match.ok & (Xc[..., 2] > 0) & (err <= cfg.tracker.reprojection_px)
+    n = jnp.sum(inlier)
+    return RelPoseResult(T_cw=res.T_cw, n_inliers=n,
+                         ok=n >= cfg.loop.min_matches)
+
+
+def close_loop(m: MapState, cur_slot: jnp.ndarray, cand_slot: jnp.ndarray,
+               T_cur_loop: jnp.ndarray, prev_loops_i: jnp.ndarray,
+               prev_loops_j: jnp.ndarray, prev_loops_T: jnp.ndarray,
+               prev_loops_valid: jnp.ndarray,
+               cfg: SlamConfig) -> MapState:
+    """Pose-graph correction over all keyframes (ref :104-220).
+
+    prev_loops_*: fixed-capacity memory of earlier closures (slot pairs
+    and measured relative transforms), mirroring closed_loops_ (:191).
+    """
+    F = m.kf_valid.shape[0]
+    # order keyframes by frame id to build the odometry chain
+    fid = jnp.where(m.kf_valid, m.kf_frame_id, jnp.iinfo(jnp.int32).max)
+    order = jnp.argsort(fid)                        # valid KFs first by age
+    n_valid = jnp.sum(m.kf_valid)
+
+    # chain edges: order[e] -> order[e+1] for e < n_valid-1
+    E_loop = prev_loops_i.shape[0]
+    ei = order[jnp.arange(F - 1)]
+    ej = order[jnp.arange(1, F)]
+    chain_valid = jnp.arange(F - 1) < (n_valid - 1)
+    T_meas_chain = m.kf_T_cw[ej] @ se3.inv(m.kf_T_cw[ei])
+
+    # the new loop edge: measurement from the re-tracked pose
+    loop_T_new = T_cur_loop @ se3.inv(m.kf_T_cw[cand_slot])
+
+    edge_i = jnp.concatenate([ei, jnp.array([cand_slot], jnp.int32),
+                              prev_loops_i])
+    edge_j = jnp.concatenate([ej, jnp.array([cur_slot], jnp.int32),
+                              prev_loops_j])
+    edge_T = jnp.concatenate([T_meas_chain, loop_T_new[None], prev_loops_T])
+    edge_valid = jnp.concatenate([chain_valid, jnp.array([True]),
+                                  prev_loops_valid])
+
+    info_row = jnp.asarray([cfg.loop.info_translation] * 3 +
+                           [cfg.loop.info_rotation,
+                            cfg.loop.info_yaw_damp,
+                            cfg.loop.info_rotation], jnp.float32)
+    edge_info = jnp.tile(info_row, (edge_i.shape[0], 1))
+
+    prob = PoseGraphProblem(
+        T_cw=m.kf_T_cw,
+        pose_valid=m.kf_valid,
+        pose_fixed=(jnp.arange(F) == order[0]) | ~m.kf_valid,
+        edge_i=edge_i, edge_j=edge_j, edge_T_ji=edge_T,
+        edge_info=edge_info, edge_valid=edge_valid)
+    T_opt = solve_pose_graph(prob, iters=cfg.loop.posegraph_iterations)
+    return m._replace(kf_T_cw=jnp.where(m.kf_valid[:, None, None],
+                                        T_opt, m.kf_T_cw))
+
+
+def merge_mappoints(m: MapState, cur_slot: jnp.ndarray,
+                    cand_slot: jnp.ndarray, cam: StereoCamera,
+                    cfg: SlamConfig) -> MapState:
+    """Merge duplicate landmarks after closure (ref :223-299).
+
+    Candidate-side mappoints are projection-matched into the current
+    keyframe at the tight loop radius; where the matched keypoint already
+    observes a different landmark, the candidate-side one (older) wins
+    and every observation of the loser is redirected to it.
+    """
+    ids_cand = m.kf_obs[cand_slot]
+    safe = jnp.where(ids_cand >= 0, ids_cand, 0)
+    valid = (ids_cand >= 0) & m.mp_valid[safe]
+    Xw = mappoint_positions_at(m, safe)
+    desc = m.mp_desc[safe]
+    feats = _kf_features(m, cur_slot)
+    match = projection_match(Xw, desc, valid, feats, m.kf_T_cw[cur_slot],
+                             cam, cfg.matcher, cfg.matcher.loop_radius)
+    kpt = match.kpt_idx
+    existing = m.kf_obs[cur_slot][kpt]             # current landmark at kpt
+    winner = safe                                   # candidate-side id
+    loser = existing
+    do_merge = match.ok & (existing >= 0) & (existing != winner)
+
+    M = m.mp_valid.shape[0]
+    K = m.kf_obs.shape[1]
+    # remap table loser -> winner (identity elsewhere); masked writes land
+    # in a padding slot M that is sliced off afterwards
+    dump = jnp.where(do_merge, loser, M)
+    remap = jnp.concatenate([jnp.arange(M, dtype=jnp.int32),
+                             jnp.zeros(1, jnp.int32)])
+    remap = remap.at[dump].set(winner)
+    remap = jnp.concatenate([remap[:M], jnp.array([-1], jnp.int32)])  # id -1
+    kf_obs = remap[jnp.where(m.kf_obs >= 0, m.kf_obs, M)]
+    mp_valid = jnp.concatenate([m.mp_valid, jnp.zeros(1, bool)]) \
+        .at[dump].set(False)[:M]
+
+    # unmatched current keypoints observing nothing can adopt the
+    # candidate landmark directly (SetMappoitIfEmpty, ref :254-261)
+    adopt = match.ok & (existing < 0)
+    obs_row = jnp.concatenate([kf_obs[cur_slot], jnp.zeros(1, jnp.int32)]) \
+        .at[jnp.where(adopt, kpt, K)].set(winner)[:K]
+    kf_obs = kf_obs.at[cur_slot].set(obs_row)
+    return m._replace(kf_obs=kf_obs, mp_valid=mp_valid)

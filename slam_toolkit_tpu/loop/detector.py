@@ -1,0 +1,109 @@
+"""Loop detection: dense BoW scoring + temporal consistency.
+
+Replaces LoopDetector (ref src/loopdetector.cpp:38-154) and the
+inverted-file candidate retrieval (ref src/pipeline_map.cpp:151-272):
+
+- every keyframe's dense BoW vector lives in a (F, W) device matrix;
+  a query scores against ALL keyframes in one masked reduction —
+  feasible because F <= a few hundred, so the inverted file's pruning
+  buys nothing on TPU;
+- minScore = min_score_ratio * best covisible-neighbor score
+  (the author's deliberate deviation from ORB-SLAM2's min,
+  ref src/loopdetector.cpp:51-76);
+- covisibility (shared-mappoint counts) is computed on demand from the
+  observation table;
+- temporal consistency (candidate groups intersecting previous groups
+  over >= consistency_threshold consecutive keyframes,
+  ref src/loopdetector.cpp:92-146) is cheap set bookkeeping on the host
+  over tiny per-keyframe neighbor bitmasks.
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple, Optional, Set, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from slam_toolkit_tpu.config import LoopConfig
+from slam_toolkit_tpu.mapping.map_state import MapState
+
+
+class LoopScores(NamedTuple):
+    scores: jnp.ndarray       # (F,) BoW similarity to each keyframe slot
+    covis: jnp.ndarray        # (F,) shared-mappoint counts with the query
+    min_score: jnp.ndarray    # () detection threshold
+    candidates: jnp.ndarray   # (F,) bool raw candidate mask
+
+
+def covisibility_counts(m: MapState, kf_slot: jnp.ndarray) -> jnp.ndarray:
+    """(F,) number of mappoints shared with keyframe `kf_slot`.
+
+    Replaces Frame::GetNeighbors (ref src/frame.cpp:469-523): membership
+    is evaluated by scattering the query's observed ids into an (M,) mask
+    and gathering it at every keyframe's observation table.
+    """
+    M = m.mp_valid.shape[0]
+    q = m.kf_obs[kf_slot]                                  # (K,)
+    member = jnp.zeros((M + 1,), bool).at[
+        jnp.where(q >= 0, q, M)].set(True)[:M]
+    obs = m.kf_obs                                          # (F, K)
+    hit = jnp.where(obs >= 0, member[jnp.clip(obs, 0)], False)
+    return jnp.sum(hit, axis=1).astype(jnp.int32)
+
+
+def score_query(m: MapState, bow_db: jnp.ndarray, bow_query: jnp.ndarray,
+                kf_slot: jnp.ndarray, cfg: LoopConfig) -> LoopScores:
+    """Score one keyframe's BoW against the whole database (jit-safe)."""
+    from slam_toolkit_tpu.loop.vocab import l1_score
+    scores = l1_score(bow_query, bow_db)
+    valid = m.kf_valid & (jnp.arange(m.kf_valid.shape[0]) != kf_slot)
+    scores = jnp.where(valid, scores, -1.0)
+
+    covis = covisibility_counts(m, kf_slot)
+    neighbor = valid & (covis >= cfg.min_covisibility)
+    best_neighbor = jnp.max(jnp.where(neighbor, scores, 0.0))
+    min_score = cfg.min_score_ratio * best_neighbor
+
+    # temporal gate: a candidate must be at least min_kf_gap keyframe
+    # insertions older than the query
+    fid = jnp.where(m.kf_valid, m.kf_frame_id, jnp.iinfo(jnp.int32).max)
+    rank = jnp.sum(fid[None, :] < fid[:, None], axis=1)   # insertion rank
+    old_enough = rank <= rank[kf_slot] - cfg.min_kf_gap
+
+    candidates = (valid & ~neighbor & old_enough &
+                  (scores >= jnp.maximum(min_score, 1e-6)))
+    return LoopScores(scores=scores, covis=covis, min_score=min_score,
+                      candidates=candidates)
+
+
+class ConsistencyTracker:
+    """Host-side temporal-consistency groups (ref src/loopdetector.cpp:92-146).
+
+    A candidate is accepted once its covisibility group has intersected a
+    previous detection's group for `threshold` consecutive keyframes.
+    """
+
+    def __init__(self, threshold: int):
+        self.threshold = threshold
+        self.groups: List[Tuple[Set[int], int]] = []   # (kf set, streak)
+
+    def update(self, candidate_groups: List[Set[int]]) -> List[int]:
+        """candidate_groups: for each candidate, {candidate + its covisible
+        neighbors}. Returns indices of candidates that are now consistent."""
+        accepted = []
+        new_groups: List[Tuple[Set[int], int]] = []
+        for ci, grp in enumerate(candidate_groups):
+            streak = 0
+            for prev, n in self.groups:
+                if grp & prev:
+                    streak = max(streak, n + 1)
+            new_groups.append((grp, streak))
+            if streak >= self.threshold:
+                accepted.append(ci)
+        self.groups = new_groups
+        return accepted
+
+    def reset(self):
+        self.groups = []

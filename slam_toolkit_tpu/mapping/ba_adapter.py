@@ -132,6 +132,7 @@ def local_ba_step(m: MapState, cam: StereoCamera, cfg: SlamConfig) -> MapState:
                    huber_delta=cfg.local_ba.huber_delta,
                    lambda0=cfg.local_ba.lm_lambda0,
                    lambda_up=cfg.local_ba.lm_lambda_up,
-                   lambda_down=cfg.local_ba.lm_lambda_down)
+                   lambda_down=cfg.local_ba.lm_lambda_down,
+                   trim_sigma=cfg.local_ba.trim_sigma)
     return write_back(m, res, window, prob.pose_valid, prob.pose_fixed,
                       pt_ids, prob.point_valid)

@@ -52,8 +52,15 @@ class BAResult(NamedTuple):
     edge_r2: jnp.ndarray     # (W, P) final squared whitened residual norms
 
 
-def _edge_terms(T_cw, Xw, z, inv_sigma, w_mask, s_mask, baseline, delta):
-    """Residuals, robust weights, and Jacobians for every (pose, point)."""
+def _edge_terms(T_cw, Xw, z, inv_sigma, w_mask, s_mask, baseline, delta,
+                trim_sigma: float = 1e9):
+    """Residuals, robust weights, and Jacobians for every (pose, point).
+
+    trim_sigma: edges whose whitened norm exceeds it get zero weight —
+    the fixed-shape equivalent of g2o demoting outlier edges between
+    optimization rounds. Huber alone leaves a linear tail that lets a
+    50-sigma wrong match out-pull dozens of inliers.
+    """
     R = T_cw[:, :3, :3]                        # (W, 3, 3)
     t = T_cw[:, :3, 3]                         # (W, 3)
     Xc = jnp.einsum('wij,pj->wpi', R, Xw) + t[:, None, :]   # (W, P, 3)
@@ -68,9 +75,10 @@ def _edge_terms(T_cw, Xw, z, inv_sigma, w_mask, s_mask, baseline, delta):
     r = (pred - z) * inv_sigma[..., None]                    # (W, P, 3)
     row_w = jnp.stack([w_mask, w_mask, w_mask & s_mask],
                       axis=-1).astype(jnp.float32) * good[..., None]
-    # robust weight from the active-row whitened norm
+    # robust weight from the active-row whitened norm, with outlier trim
     rn = jnp.sqrt(jnp.sum(r * r * row_w, axis=-1) + 1e-12)
-    w_rob = robust.huber_weight(rn, delta)[..., None] * row_w
+    keep = (rn <= trim_sigma)[..., None]
+    w_rob = robust.huber_weight(rn, delta)[..., None] * row_w * keep
 
     # dpi/dXc rows: u=(x/z), v=(y/z), ur=((x-b)/z)
     zero = jnp.zeros_like(x)
@@ -90,15 +98,19 @@ def _edge_terms(T_cw, Xw, z, inv_sigma, w_mask, s_mask, baseline, delta):
     return r, w_rob, Jp, Jl, row_w
 
 
-def _cost(r, row_w, delta):
+def _cost(r, row_w, delta, trim_sigma: float = 1e9):
     rn = jnp.sqrt(jnp.sum(r * r * row_w, axis=-1) + 1e-12)
     active = jnp.any(row_w > 0, axis=-1)
-    return jnp.sum(robust.huber_cost(rn, delta) * active)
+    # trimmed edges contribute a constant (their cost at the trim point),
+    # so removing an edge never *rewards* the objective
+    c = jnp.where(rn <= trim_sigma, robust.huber_cost(rn, delta),
+                  robust.huber_cost(jnp.full_like(rn, trim_sigma), delta))
+    return jnp.sum(c * active)
 
 
 def solve_ba(p: BAProblem, iters: int = 10, huber_delta: float = 2.4477468,
              lambda0: float = 1e-4, lambda_up: float = 10.0,
-             lambda_down: float = 0.1) -> BAResult:
+             lambda_down: float = 0.1, trim_sigma: float = 1e9) -> BAResult:
     W = p.T_cw.shape[0]
     P = p.Xw.shape[0]
     w_mask = p.obs_mask & p.pose_valid[:, None] & p.point_valid[None, :]
@@ -107,14 +119,14 @@ def solve_ba(p: BAProblem, iters: int = 10, huber_delta: float = 2.4477468,
     def cost_at(T, X):
         r, _, _, _, row_w = _edge_terms(T, X, p.z, p.inv_sigma, w_mask,
                                         p.stereo_mask, p.baseline,
-                                        huber_delta)
-        return _cost(r, row_w, huber_delta)
+                                        huber_delta, trim_sigma)
+        return _cost(r, row_w, huber_delta, trim_sigma)
 
     def step(carry, _):
         T, X, lam, cost = carry
         r, w_rob, Jp, Jl, _ = _edge_terms(T, X, p.z, p.inv_sigma, w_mask,
                                           p.stereo_mask, p.baseline,
-                                          huber_delta)
+                                          huber_delta, trim_sigma)
         # block accumulations
         Hpp = jnp.einsum('wpra,wpr,wprb->wab', Jp, w_rob, Jp)   # (W, 6, 6)
         Hll = jnp.einsum('wpra,wpr,wprb->pab', Jl, w_rob, Jl)   # (P, 3, 3)
@@ -122,11 +134,13 @@ def solve_ba(p: BAProblem, iters: int = 10, huber_delta: float = 2.4477468,
         bp = -jnp.einsum('wpra,wpr,wpr->wa', Jp, w_rob, r)      # (W, 6)
         bl = -jnp.einsum('wpra,wpr,wpr->pa', Jl, w_rob, r)      # (P, 3)
 
-        # damping
+        # damping; absolute floors keep Hll_inv bounded in f32 — without
+        # them a weakly-constrained point block inverts to ~1e16 and the
+        # Schur einsum overflows to inf - inf = NaN
         eyew = jnp.eye(6)
         eyep = jnp.eye(3)
-        Hpp_d = Hpp + lam * Hpp * eyew + 1e-8 * eyew
-        Hll_d = Hll + lam * Hll * eyep + 1e-8 * eyep
+        Hpp_d = Hpp + lam * Hpp * eyew + 1e-6 * eyew
+        Hll_d = Hll + lam * Hll * eyep + 1e-4 * eyep
         # guard empty/invalid points with identity blocks
         pt_active = p.point_valid & (jnp.sum(w_mask, axis=0) > 0)
         Hll_d = jnp.where(pt_active[:, None, None], Hll_d, eyep)
@@ -161,10 +175,15 @@ def solve_ba(p: BAProblem, iters: int = 10, huber_delta: float = 2.4477468,
         X_try = p.point_valid[:, None] * (X + dl) + \
             (~p.point_valid)[:, None] * X
         cost_try = cost_at(T_try, X_try)
-        accept = cost_try < cost
+        # a NaN step can masquerade as zero cost (all rows go inactive);
+        # require the update itself to be finite before accepting
+        finite = jnp.all(jnp.isfinite(dp)) & jnp.all(jnp.isfinite(dl))
+        accept = (cost_try < cost) & finite
         T_new = jnp.where(accept, T_try, T)
         X_new = jnp.where(accept, X_try, X)
-        lam_new = jnp.where(accept, lam * lambda_down, lam * lambda_up)
+        lam_new = jnp.where(accept,
+                            jnp.maximum(lam * lambda_down, 1e-7),
+                            lam * lambda_up)
         cost_new = jnp.where(accept, cost_try, cost)
         return (T_new, X_new, lam_new, cost_new), cost_new
 

@@ -36,13 +36,22 @@ from slam_toolkit_tpu.mapping.map_state import (MapState, empty_map,
                                                 insert_keyframe)
 
 
+MAX_CLOSED_LOOPS = 16
+
+
 class SlamEngine:
-    """Stereo visual odometry / SLAM over a fixed-capacity device map."""
+    """Stereo visual odometry / SLAM over a fixed-capacity device map.
+
+    Pass a trained Vocabulary to enable loop detection + closing
+    (the mapping()-thread work of ref src/pipeline.cpp:98-141).
+    """
 
     def __init__(self, cfg: Optional[SlamConfig] = None,
-                 cam: Optional[StereoCamera] = None):
+                 cam: Optional[StereoCamera] = None,
+                 vocab=None):
         self.cfg = cfg or SlamConfig()
         self.cam = cam or StereoCamera.from_config(self.cfg.camera)
+        self.vocab = vocab
         self.map = empty_map(self.cfg)
         self.T_cw = jnp.eye(4)
         self.velocity = jnp.eye(4)          # dT: T_cur = dT @ T_prev
@@ -50,6 +59,18 @@ class SlamEngine:
         self.n_keyframes = 0
         self.trajectory: List[np.ndarray] = []
         self.frame_stats: List[dict] = []
+        self.loop_events: List[dict] = []
+        if vocab is not None:
+            from slam_toolkit_tpu.loop.detector import ConsistencyTracker
+            f = self.cfg.map.max_keyframes
+            self.bow_db = jnp.zeros((f, vocab.num_words))
+            self.consistency = ConsistencyTracker(
+                self.cfg.loop.consistency_threshold)
+            self.closed_i = jnp.zeros(MAX_CLOSED_LOOPS, jnp.int32)
+            self.closed_j = jnp.zeros(MAX_CLOSED_LOOPS, jnp.int32)
+            self.closed_T = jnp.tile(jnp.eye(4), (MAX_CLOSED_LOOPS, 1, 1))
+            self.closed_valid = jnp.zeros(MAX_CLOSED_LOOPS, bool)
+            self.n_closed = 0
         self._compile()
 
     # ----- jitted programs -------------------------------------------------
@@ -86,6 +107,37 @@ class SlamEngine:
 
         self._build, self._stereo = _build, _stereo
         self._track, self._insert, self._ba = _track, _insert, _ba
+
+        if self.vocab is not None:
+            from slam_toolkit_tpu.loop import closer as closer_mod
+            from slam_toolkit_tpu.loop import detector as det_mod
+            from slam_toolkit_tpu.loop import vocab as vocab_mod
+            voc = self.vocab
+
+            @jax.jit
+            def _bow(desc, valid):
+                return vocab_mod.bow_vector(voc, desc, valid)
+
+            @jax.jit
+            def _loop_score(m, bow_db, query, slot):
+                return det_mod.score_query(m, bow_db, query, slot, cfg.loop)
+
+            @jax.jit
+            def _covis(m, slot):
+                return det_mod.covisibility_counts(m, slot)
+
+            @jax.jit
+            def _relpose(m, cur, cand):
+                return closer_mod.relative_pose(m, cur, cand, cam, cfg)
+
+            @jax.jit
+            def _close(m, cur, cand, T_loop, ci, cj, cT, cv):
+                m = closer_mod.close_loop(m, cur, cand, T_loop, ci, cj, cT,
+                                          cv, cfg)
+                return closer_mod.merge_mappoints(m, cur, cand, cam, cfg)
+
+            self._bow, self._loop_score, self._covis = _bow, _loop_score, _covis
+            self._relpose, self._close = _relpose, _close
 
     # ----- driver -----------------------------------------------------------
     def process(self, left: np.ndarray, right: np.ndarray) -> np.ndarray:
@@ -124,19 +176,74 @@ class SlamEngine:
 
     def _make_keyframe(self, frame, img_l, img_r, T_cw, ids, kpts, inliers,
                        run_ba: bool):
+        if self.n_keyframes >= self.cfg.map.max_keyframes:
+            # capacity guard: first-free-slot allocation would silently
+            # overwrite slot 0; refuse instead (culling lands later)
+            raise RuntimeError(
+                f"keyframe capacity {self.cfg.map.max_keyframes} exhausted")
         frame = self._stereo(frame, img_l, img_r)
-        K = frame.feats.xy.shape[0]
         if ids is None:
             L = self.cfg.map.track_landmarks
             ids = jnp.zeros((L,), jnp.int32)
             kpts = jnp.zeros((L,), jnp.int32)
             inliers = jnp.zeros((L,), bool)
-        self.map, _ = self._insert(self.map, frame, T_cw,
-                                   jnp.int32(self.frame_id), ids, kpts,
-                                   inliers)
+        self.map, slot = self._insert(self.map, frame, T_cw,
+                                      jnp.int32(self.frame_id), ids, kpts,
+                                      inliers)
         self.n_keyframes += 1
+        if self.vocab is not None:
+            self._loop_step(frame, int(slot))
         if run_ba and self.n_keyframes >= 3:
             self.map = self._ba(self.map)
+
+    # ----- loop closing (the mapping-thread work) ----------------------------
+    def _loop_step(self, frame, slot: int):
+        q = self._bow(frame.feats.desc, frame.feats.valid)
+        self.bow_db = self.bow_db.at[slot].set(q)
+        if self.n_keyframes < 3:
+            return
+        sc = self._loop_score(self.map, self.bow_db, q, jnp.int32(slot))
+        cand_mask = np.asarray(sc.candidates)
+        if not cand_mask.any():
+            self.consistency.update([])
+            return
+        scores = np.asarray(sc.scores)
+        cand_slots = np.flatnonzero(cand_mask)
+        # covisibility group per candidate (candidate + its neighbors)
+        groups = []
+        for cs in cand_slots:
+            cov = np.asarray(self._covis(self.map, jnp.int32(int(cs))))
+            grp = set(np.flatnonzero(
+                cov >= self.cfg.loop.min_covisibility).tolist())
+            grp.add(int(cs))
+            groups.append(grp)
+        accepted = self.consistency.update(groups)
+        if not accepted:
+            return
+        # strongest consistent candidate first (ref picks most matches)
+        accepted.sort(key=lambda ci: -scores[cand_slots[ci]])
+        for ci in accepted:
+            cand = int(cand_slots[ci])
+            rel = self._relpose(self.map, jnp.int32(slot), jnp.int32(cand))
+            if not bool(rel.ok):
+                continue
+            # the loop *measurement* uses the pre-closure candidate pose
+            loop_T = rel.T_cw @ se3.inv(self.map.kf_T_cw[cand])
+            self.map = self._close(
+                self.map, jnp.int32(slot), jnp.int32(cand), rel.T_cw,
+                self.closed_i, self.closed_j, self.closed_T,
+                self.closed_valid)
+            k = self.n_closed % MAX_CLOSED_LOOPS
+            self.closed_i = self.closed_i.at[k].set(cand)
+            self.closed_j = self.closed_j.at[k].set(slot)
+            self.closed_T = self.closed_T.at[k].set(loop_T)
+            self.closed_valid = self.closed_valid.at[k].set(True)
+            self.n_closed += 1
+            self.consistency.reset()
+            self.loop_events.append(
+                {"frame": self.frame_id, "kf_slot": slot, "cand": cand,
+                 "inliers": int(rel.n_inliers)})
+            break
 
     def _finish_frame(self, T_cw, n_inliers: int, is_kf: bool):
         self.T_cw = T_cw

@@ -112,11 +112,19 @@ class LoopConfig:
     min_covisibility: int = 20
     min_score_ratio: float = 0.7      # minScore = 0.7 * best-neighbor score
     consistency_threshold: int = 5    # consecutive-KF consistency groups
+    correction_window: int = 20       # keyframes rigidly pre-corrected by
+    #                                   the loop transform before the pose
+    #                                   graph runs (ORB-SLAM-style
+    #                                   CorrectLoop; without it LM cannot
+    #                                   execute large-drift corrections)
     min_kf_gap: int = 10              # candidates must be >= this many
     #                                   keyframes older than the query
     #                                   (covisibility exclusion alone is
     #                                   thinner here than in the reference)
-    min_matches: int = 8              # relative-pose acceptance
+    min_matches: int = 25             # relative-pose acceptance (the
+    #                                   reference's 8 admits weakly-
+    #                                   conditioned loop edges that degrade
+    #                                   the pose graph; ORB-SLAM2 uses 40)
     posegraph_iterations: int = 20
     info_translation: float = 100.0   # anisotropic odometry-edge info
     info_rotation: float = 100.0
@@ -180,7 +188,7 @@ class SlamConfig:
             extractor=ExtractorConfig(num_features=256, num_levels=4,
                                       cell_size=16),
             local_ba=LocalBAConfig(window_keyframes=4, max_points=256),
-            map=MapConfig(max_keyframes=64, max_mappoints=2048,
+            map=MapConfig(max_keyframes=128, max_mappoints=4096,
                           max_obs_per_frame=256, track_landmarks=512,
                           track_recent_kfs=6),
             # search radii scale with image width (reference's 50px/10px

@@ -72,3 +72,12 @@ class KittiDataset:
 
     def ground_truth(self) -> List[np.ndarray]:
         return self.T_cw
+
+    def prefetch_loader(self, height: int = 376, width: int = 1241,
+                        ring: int = 4):
+        """Native background-decoding iterator over stereo pairs
+        (falls back to cv2 if native/libslamloader.so isn't built)."""
+        from slam_toolkit_tpu.data.native_loader import PrefetchLoader
+        lps = [os.path.join(self.left_dir, f) for f in self.files]
+        rps = [os.path.join(self.right_dir, f) for f in self.files]
+        return PrefetchLoader(lps, rps, height, width, ring)

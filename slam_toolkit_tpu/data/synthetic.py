@@ -22,7 +22,9 @@ from slam_toolkit_tpu.config import SlamConfig
 
 class PlaneWorld(NamedTuple):
     cfg: SlamConfig
-    mips: tuple              # mip pyramid of (T, T), (T/2, T/2), ... textures
+    plane_mips: tuple        # one mip pyramid PER plane (avoids perceptual
+    #                          aliasing: identical textures on different
+    #                          walls create false loop closures by design)
     texels_per_m: float
     half_width: float        # walls at x = +/- half_width
     ground_y: float          # ground plane at y = ground_y (y points down)
@@ -70,8 +72,10 @@ def make_world(cfg: SlamConfig, seed: int = 0, half_width: float = 6.0,
                texels_per_m: float = 24.0, half_length: float = 0.0,
                **_compat) -> PlaneWorld:
     """half_length > 0 closes the corridor into a box room (loop tests)."""
+    mips = tuple(_mip_pyramid(_block_texture(tex_size, 8, seed * 31 + i))
+                 for i in range(5))
     return PlaneWorld(cfg=cfg,
-                      mips=_mip_pyramid(_block_texture(tex_size, 8, seed)),
+                      plane_mips=mips,
                       texels_per_m=texels_per_m,
                       half_width=half_width,
                       ground_y=ground_y,
@@ -149,7 +153,7 @@ def render_view(world: PlaneWorld, T_cw: np.ndarray,
             (2, world.half_length, 0, 1),   # front wall: z = +hl
         ]
     d_norm = np.linalg.norm(d_w, axis=-1)
-    for axis, off, ua, va in planes:
+    for plane_idx, (axis, off, ua, va) in enumerate(planes):
         dn = d_w[..., axis]
         with np.errstate(divide='ignore', invalid='ignore'):
             ti = (off - origin[axis]) / dn
@@ -164,7 +168,8 @@ def render_view(world: PlaneWorld, T_cw: np.ndarray,
         cosi = np.abs(dn[hit]) / d_norm[hit]
         rng = ti[hit] * d_norm[hit]
         footprint = tpm * rng / (cam.fx * np.maximum(cosi, 0.05))
-        img[hit] = _sample_tex(world.mips, tex_u, tex_v, footprint)
+        img[hit] = _sample_tex(world.plane_mips[plane_idx], tex_u, tex_v,
+                               footprint)
         best_t[hit] = ti[hit]
 
     if return_depth:

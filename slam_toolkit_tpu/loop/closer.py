@@ -62,8 +62,10 @@ def relative_pose(m: MapState, cur_slot: jnp.ndarray, cand_slot: jnp.ndarray,
 
     feats = _kf_features(m, cur_slot)
     T_pred = m.kf_T_cw[cand_slot]
+    # 2x the tracking radius: the prediction here carries the full
+    # accumulated loop drift, not one frame of motion
     match = projection_match(Xw, desc, valid, feats, T_pred, cam,
-                             cfg.matcher, cfg.matcher.projection_radius)
+                             cfg.matcher, 2.0 * cfg.matcher.projection_radius)
     kpt = match.kpt_idx
     z_norm = m.kf_norm[cur_slot][kpt]
     sigma2 = m.kf_sigma2[cur_slot][kpt] / (cam.left.fx * cam.left.fx)
@@ -95,6 +97,7 @@ def close_loop(m: MapState, cur_slot: jnp.ndarray, cand_slot: jnp.ndarray,
     n_valid = jnp.sum(m.kf_valid)
 
     # chain edges: order[e] -> order[e+1] for e < n_valid-1
+    # (measured BEFORE the rigid pre-correction: odometry constraints)
     E_loop = prev_loops_i.shape[0]
     ei = order[jnp.arange(F - 1)]
     ej = order[jnp.arange(1, F)]
@@ -103,6 +106,16 @@ def close_loop(m: MapState, cur_slot: jnp.ndarray, cand_slot: jnp.ndarray,
 
     # the new loop edge: measurement from the re-tracked pose
     loop_T_new = T_cur_loop @ se3.inv(m.kf_T_cw[cand_slot])
+
+    # rigid pre-correction (ORB-SLAM CorrectLoop): apply the loop
+    # correction dT to the recent segment so LM starts near the optimum —
+    # its small-step linearization cannot execute tens-of-meters moves
+    dT = T_cur_loop @ se3.inv(m.kf_T_cw[cur_slot])
+    rank = jnp.sum(fid[None, :] < fid[:, None], axis=1)
+    seg = m.kf_valid & (rank > rank[cur_slot] - cfg.loop.correction_window)
+    T_init = jnp.where(seg[:, None, None],
+                       se3.normalize(dT[None] @ m.kf_T_cw), m.kf_T_cw)
+    m = m._replace(kf_T_cw=T_init)
 
     edge_i = jnp.concatenate([ei, jnp.array([cand_slot], jnp.int32),
                               prev_loops_i])
@@ -117,6 +130,14 @@ def close_loop(m: MapState, cur_slot: jnp.ndarray, cand_slot: jnp.ndarray,
                             cfg.loop.info_yaw_damp,
                             cfg.loop.info_rotation], jnp.float32)
     edge_info = jnp.tile(info_row, (edge_i.shape[0], 1))
+    # de-weight odometry edges whose endpoints tracked poorly (a blind /
+    # lost stretch must not outvote good loop edges; the reference has no
+    # tracking-failure handling at all)
+    q = jnp.minimum(m.kf_quality[ei], m.kf_quality[ej])
+    chain_scale = jnp.clip(q / (2.0 * cfg.tracker.min_matches), 0.01, 1.0)
+    scale = jnp.concatenate([chain_scale,
+                             jnp.ones(1 + E_loop, jnp.float32)])
+    edge_info = edge_info * scale[:, None]
 
     prob = PoseGraphProblem(
         T_cw=m.kf_T_cw,

@@ -44,6 +44,7 @@ class MapState(NamedTuple):
     kf_right_x_norm: jnp.ndarray  # (F, K) normalized right x (stereo)
     kf_has_stereo: jnp.ndarray  # (F, K) bool
     kf_obs: jnp.ndarray         # (F, K) int32 mappoint id, -1 none
+    kf_quality: jnp.ndarray     # (F,) float32 tracking inliers at creation
     # --- mappoints (capacity M) ---
     mp_ref_kf: jnp.ndarray      # (M,) int32 anchor keyframe slot
     mp_kpt: jnp.ndarray         # (M,) int32 anchor keypoint index
@@ -73,6 +74,7 @@ def empty_map(cfg: SlamConfig) -> MapState:
         kf_right_x_norm=jnp.zeros((f, k)),
         kf_has_stereo=jnp.zeros((f, k), bool),
         kf_obs=jnp.full((f, k), -1, jnp.int32),
+        kf_quality=jnp.zeros(f),
         mp_ref_kf=jnp.zeros(m, jnp.int32),
         mp_kpt=jnp.zeros(m, jnp.int32),
         mp_invd=jnp.full((m,), 1e-3),
@@ -114,7 +116,8 @@ def allocate_slots(free: jnp.ndarray, want: jnp.ndarray,
 def insert_keyframe(m: MapState, frame: FrameState, T_cw: jnp.ndarray,
                     frame_id: jnp.ndarray, mp_ids: jnp.ndarray,
                     mp_kpt: jnp.ndarray, mp_tracked: jnp.ndarray,
-                    cfg: SlamConfig) -> Tuple[MapState, jnp.ndarray]:
+                    cfg: SlamConfig,
+                    quality: jnp.ndarray = None) -> Tuple[MapState, jnp.ndarray]:
     """Insert `frame` as a keyframe and supply new mappoints.
 
     mp_ids/mp_kpt/mp_tracked: the tracking result — landmark id (into the
@@ -174,6 +177,9 @@ def insert_keyframe(m: MapState, frame: FrameState, T_cw: jnp.ndarray,
         kf_right_x_norm=m.kf_right_x_norm.at[slot].set(frame.right_x_norm),
         kf_has_stereo=m.kf_has_stereo.at[slot].set(frame.has_stereo),
         kf_obs=m.kf_obs.at[slot].set(obs_row),
+        kf_quality=m.kf_quality.at[slot].set(
+            jnp.sum(mp_tracked.astype(jnp.float32)) if quality is None
+            else quality),
         mp_ref_kf=mp_ref_kf,
         mp_kpt=mp_kpt_arr,
         mp_invd=mp_invd,

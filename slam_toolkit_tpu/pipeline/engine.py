@@ -57,7 +57,12 @@ class SlamEngine:
         self.velocity = jnp.eye(4)          # dT: T_cur = dT @ T_prev
         self.frame_id = 0
         self.n_keyframes = 0
-        self.trajectory: List[np.ndarray] = []
+        self.trajectory: List[np.ndarray] = []      # poses as processed
+        # keyframe-anchored trajectory: (kf_slot, T_frame . T_kf^-1) per
+        # frame, so loop-closure corrections to keyframes retro-correct
+        # every frame (the reference's rigid non-KF re-attachment,
+        # ref src/loopcloser.cpp:195-208)
+        self._traj_anchor: List[tuple] = []
         self.frame_stats: List[dict] = []
         self.loop_events: List[dict] = []
         if vocab is not None:
@@ -142,6 +147,8 @@ class SlamEngine:
     # ----- driver -----------------------------------------------------------
     def process(self, left: np.ndarray, right: np.ndarray) -> np.ndarray:
         """Track one stereo pair; returns the estimated T_cw (4, 4)."""
+        import time
+        self._t_frame0 = time.perf_counter()
         img_l = jnp.asarray(left, jnp.float32)
         img_r = jnp.asarray(right, jnp.float32)
         frame = self._build(img_l)
@@ -247,10 +254,26 @@ class SlamEngine:
 
     def _finish_frame(self, T_cw, n_inliers: int, is_kf: bool):
         self.T_cw = T_cw
-        self.trajectory.append(np.asarray(T_cw))
+        T_np = np.asarray(T_cw)
+        self.trajectory.append(T_np)
+        slot = self._latest_slot()
+        T_kf = np.asarray(self.map.kf_T_cw[slot])
+        self._traj_anchor.append((slot, T_np @ np.linalg.inv(T_kf)))
+        import time
+        elapsed_ms = 1000.0 * (time.perf_counter()
+                               - getattr(self, "_t_frame0", time.perf_counter()))
+        # per-frame wall clock, the reference's FrameInfo::elapsed_ms_
+        # (ref src/pipeline.cpp:144,209-212)
         self.frame_stats.append(
-            {"frame": self.frame_id, "inliers": n_inliers, "kf": is_kf})
+            {"frame": self.frame_id, "inliers": n_inliers, "kf": is_kf,
+             "elapsed_ms": round(elapsed_ms, 2)})
         self.frame_id += 1
+
+    def trajectory_refined(self) -> List[np.ndarray]:
+        """Per-frame poses re-expressed against CURRENT keyframe poses,
+        so pose-graph/BA corrections propagate to the whole trajectory."""
+        kf_T = np.asarray(self.map.kf_T_cw)
+        return [rel @ kf_T[slot] for slot, rel in self._traj_anchor]
 
     # ----- introspection ----------------------------------------------------
     def num_mappoints(self) -> int:

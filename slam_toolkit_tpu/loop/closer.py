@@ -80,6 +80,34 @@ def relative_pose(m: MapState, cur_slot: jnp.ndarray, cand_slot: jnp.ndarray,
                          ok=n >= cfg.loop.min_matches)
 
 
+def relocalize_frame(m: MapState, frame_feats: FrameFeatures,
+                     frame_norm: jnp.ndarray, cand_slot: jnp.ndarray,
+                     cam: StereoCamera, cfg: SlamConfig) -> RelPoseResult:
+    """Relocalize a (non-key)frame against a candidate keyframe's
+    landmarks — the engine's recovery path after lost tracking (absent
+    from the reference, which always trusts constant velocity)."""
+    ids = m.kf_obs[cand_slot]
+    safe = jnp.where(ids >= 0, ids, 0)
+    valid = (ids >= 0) & m.mp_valid[safe]
+    Xw = mappoint_positions_at(m, safe)
+    desc = m.mp_desc[safe]
+    T_pred = m.kf_T_cw[cand_slot]
+    match = projection_match(Xw, desc, valid, frame_feats, T_pred, cam,
+                             cfg.matcher, 2.0 * cfg.matcher.projection_radius)
+    kpt = match.kpt_idx
+    z_norm = frame_norm[kpt]
+    sigma2 = frame_feats.sigma2[kpt] / (cam.left.fx * cam.left.fx)
+    res = pose_lm.optimize_pose(T_pred, Xw, z_norm, sigma2, match.ok,
+                                cfg.tracker)
+    Xc = se3.transform(res.T_cw, Xw)
+    uv = cam_mod.project(cam.left, Xc)
+    err = jnp.linalg.norm(uv - frame_feats.xy[kpt], axis=-1)
+    inlier = match.ok & (Xc[..., 2] > 0) & (err <= cfg.tracker.reprojection_px)
+    n = jnp.sum(inlier)
+    return RelPoseResult(T_cw=res.T_cw, n_inliers=n,
+                         ok=n >= cfg.loop.min_matches)
+
+
 def close_loop(m: MapState, cur_slot: jnp.ndarray, cand_slot: jnp.ndarray,
                T_cur_loop: jnp.ndarray, prev_loops_i: jnp.ndarray,
                prev_loops_j: jnp.ndarray, prev_loops_T: jnp.ndarray,

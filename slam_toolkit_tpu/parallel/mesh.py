@@ -27,8 +27,9 @@ from slam_toolkit_tpu.mapping.map_state import (MapState, empty_map,
 
 
 def make_mesh(n_devices: int) -> Mesh:
-    devs = jax.devices()[:n_devices]
-    return Mesh(jnp.array(devs).reshape(n_devices), ("seq",))
+    import numpy as np
+    devs = np.asarray(jax.devices()[:n_devices], dtype=object)
+    return Mesh(devs.reshape(n_devices), ("seq",))
 
 
 def batched_empty_map(cfg: SlamConfig, batch: int) -> MapState:

@@ -31,6 +31,11 @@ def save(engine: "SlamEngine", path: str) -> None:
     arrays["velocity"] = np.asarray(engine.velocity)
     arrays["trajectory"] = np.stack(engine.trajectory) if engine.trajectory \
         else np.zeros((0, 4, 4), np.float32)
+    if engine._traj_anchor:
+        arrays["anchor_slots"] = np.asarray(
+            [s for s, _ in engine._traj_anchor], np.int32)
+        arrays["anchor_rel"] = np.stack(
+            [r for _, r in engine._traj_anchor]).astype(np.float32)
     if engine.vocab is not None:
         arrays["bow_db"] = np.asarray(engine.bow_db)
         arrays["closed_i"] = np.asarray(engine.closed_i)
@@ -60,6 +65,9 @@ def load(engine: "SlamEngine", path: str) -> "SlamEngine":
     engine.T_cw = jnp.asarray(z["T_cw"])
     engine.velocity = jnp.asarray(z["velocity"])
     engine.trajectory = [t for t in z["trajectory"]]
+    if "anchor_slots" in z.files:
+        engine._traj_anchor = [
+            (int(s), r) for s, r in zip(z["anchor_slots"], z["anchor_rel"])]
     if engine.vocab is not None and "bow_db" in z.files:
         engine.bow_db = jnp.asarray(z["bow_db"])
         engine.closed_i = jnp.asarray(z["closed_i"])
@@ -78,4 +86,6 @@ def load(engine: "SlamEngine", path: str) -> "SlamEngine":
     engine.loop_events = meta["loop_events"]
     if engine.vocab is not None:
         engine.n_closed = meta.get("n_closed", 0)
+    if engine.n_keyframes > 0:
+        engine._refresh_kf_mirrors()
     return engine

@@ -91,15 +91,42 @@ class SlamEngine:
             return add_stereo(frame, img_l, img_r, cam, cfg)
 
         @jax.jit
-        def _track(m: MapState, frame: FrameState, T_pred):
-            Xw, desc, ids, valid = gather_local_landmarks(
+        def _snapshot(m: MapState):
+            """Keyframe-event bundle: landmark snapshot + host mirrors.
+
+            One jitted program per KF event. Anything eager here (slicing
+            with a fresh python index, int(arr.sum())) would compile a NEW
+            remote program per distinct value — seconds each through this
+            environment's remote-compile service.
+            """
+            lm = gather_local_landmarks(
                 m, cfg.map.track_landmarks, cfg.map.track_recent_kfs)
+            fid = jnp.where(m.kf_valid, m.kf_frame_id, -1)
+            slot = jnp.argmax(fid)
+            counts = jnp.stack([slot.astype(jnp.int32),
+                                jnp.sum(m.kf_valid).astype(jnp.int32)])
+            return lm, m.kf_T_cw[slot], counts
+
+        @jax.jit
+        def _track(frame: FrameState, Xw, desc, valid, T_prev, velocity,
+                   kf_T_latest):
+            """Per-frame hot path. Returns device state + ONE packed host
+            vector so the driver pays a single readback per frame."""
+            T_pred = velocity @ T_prev
             res = track_pose(frame, Xw, desc, valid, T_pred, cam, cfg)
             matched_xy = frame.feats.xy[res.mp_kpt]
             needs = kf_rule.needs_keyframe(
                 matched_xy, res.mp_inlier, cfg.camera.width,
                 cfg.camera.height, cfg.keyframe)
-            return res, ids, needs
+            T_new = jnp.where(res.ok, res.T_cw, T_pred)
+            vel_new = se3.normalize(T_new @ se3.inv(T_prev))
+            T_rel = T_new @ se3.inv(kf_T_latest)
+            packed = jnp.concatenate([
+                T_new.reshape(-1), T_rel.reshape(-1),
+                jnp.stack([res.ok.astype(jnp.float32),
+                           needs.astype(jnp.float32),
+                           res.n_inliers.astype(jnp.float32)])])
+            return res, T_new, vel_new, packed
 
         @jax.jit
         def _insert(m, frame, T_cw, frame_id, ids, kpts, inliers):
@@ -110,8 +137,22 @@ class SlamEngine:
         def _ba(m):
             return local_ba_step(m, cam, cfg)
 
+        @jax.jit
+        def _cull(m):
+            from slam_toolkit_tpu.mapping.culling import cull_most_redundant
+            return cull_most_redundant(m, min_fraction=0.8,
+                                       protect_recent=cfg.local_ba
+                                       .window_keyframes)
+
         self._build, self._stereo = _build, _stereo
         self._track, self._insert, self._ba = _track, _insert, _ba
+        self._cull, self._snapshot = _cull, _snapshot
+        # device-resident landmark snapshot + host mirrors of slow-moving
+        # state, refreshed only at keyframe events
+        self._lm, self._latest_kf_T_dev, counts = _snapshot(self.map)
+        self._latest_slot_host = 0
+        self._n_kf_valid_host = 0
+        self._latest_kf_T_host = np.eye(4, dtype=np.float32)
 
         if self.vocab is not None:
             from slam_toolkit_tpu.loop import closer as closer_mod
@@ -136,6 +177,13 @@ class SlamEngine:
                 return closer_mod.relative_pose(m, cur, cand, cam, cfg)
 
             @jax.jit
+            def _reloc(m, feats, norm, cand):
+                return closer_mod.relocalize_frame(m, feats, norm, cand,
+                                                   cam, cfg)
+
+            self._reloc_fn = _reloc
+
+            @jax.jit
             def _close(m, cur, cand, T_loop, ci, cj, cT, cv):
                 m = closer_mod.close_loop(m, cur, cand, T_loop, ci, cj, cT,
                                           cv, cfg)
@@ -145,49 +193,110 @@ class SlamEngine:
             self._relpose, self._close = _relpose, _close
 
     # ----- driver -----------------------------------------------------------
-    def process(self, left: np.ndarray, right: np.ndarray) -> np.ndarray:
-        """Track one stereo pair; returns the estimated T_cw (4, 4)."""
+    def process(self, left, right) -> np.ndarray:
+        """Track one stereo pair; returns the estimated T_cw (4, 4).
+
+        Hot-path budget: one image upload + one _track dispatch + ONE
+        small packed readback per non-keyframe frame. Everything else
+        (stereo, insertion, BA, loops, snapshot refresh) happens only at
+        keyframe events.
+        """
         import time
         self._t_frame0 = time.perf_counter()
-        img_l = jnp.asarray(left, jnp.float32)
-        img_r = jnp.asarray(right, jnp.float32)
+        img_l = left if isinstance(left, jnp.ndarray) \
+            else jnp.asarray(left, jnp.float32)
         frame = self._build(img_l)
 
         if self.n_keyframes == 0:
+            img_r = right if isinstance(right, jnp.ndarray) \
+                else jnp.asarray(right, jnp.float32)
             self._make_keyframe(frame, img_l, img_r, self.T_cw,
                                 ids=None, kpts=None, inliers=None,
                                 run_ba=False)
-            self._finish_frame(self.T_cw, n_inliers=0, is_kf=True)
+            self._finish_frame(np.eye(4, dtype=np.float32),
+                               np.eye(4, dtype=np.float32), 0, True)
             return np.asarray(self.T_cw)
 
-        T_pred = self.velocity @ self.T_cw
-        res, ids, needs_kf = self._track(self.map, frame, T_pred)
+        Xw, desc, ids, valid = self._lm
+        res, T_new, vel_new, packed = self._track(
+            frame, Xw, desc, valid, self.T_cw, self.velocity,
+            self._latest_kf_T_dev)
+        packed_np = np.asarray(packed)           # the one readback
+        tracked_ok = packed_np[32] > 0.5
+        needs_kf = packed_np[33] > 0.5
+        n_inliers = int(packed_np[34])
+        T_np = packed_np[:16].reshape(4, 4)
+        T_rel_np = packed_np[16:32].reshape(4, 4)
 
-        tracked_ok = bool(res.ok)
-        T_new = res.T_cw if tracked_ok else T_pred
-        self.velocity = se3.normalize(T_new @ se3.inv(self.T_cw))
+        if not tracked_ok and self.vocab is not None:
+            # relocalization (absent from the reference, which always
+            # trusts constant velocity, ref src/pipeline.cpp:154-166)
+            reloc = self._try_relocalize(frame)
+            if reloc is not None:
+                res, T_new, vel_new, packed = self._track(
+                    frame, Xw, desc, valid, reloc, jnp.eye(4),
+                    self._latest_kf_T_dev)
+                packed_np = np.asarray(packed)
+                tracked_ok = packed_np[32] > 0.5
+                needs_kf = packed_np[33] > 0.5
+                n_inliers = int(packed_np[34])
+                T_np = packed_np[:16].reshape(4, 4)
+                T_rel_np = packed_np[16:32].reshape(4, 4)
 
-        if bool(needs_kf) or not tracked_ok:
+        self.T_cw, self.velocity = T_new, vel_new
+
+        if needs_kf or not tracked_ok:
+            img_r = right if isinstance(right, jnp.ndarray) \
+                else jnp.asarray(right, jnp.float32)
             self._make_keyframe(frame, img_l, img_r, T_new,
                                 ids=ids, kpts=res.mp_kpt,
                                 inliers=res.mp_inlier, run_ba=True)
-            # poses may have shifted in BA; re-read the current one
-            slot = self._latest_slot()
-            T_new = self.map.kf_T_cw[slot]
-        self._finish_frame(T_new, int(res.n_inliers), bool(needs_kf))
-        return np.asarray(T_new)
+            # poses may have shifted in BA; refresh device + host state
+            T_np = self._latest_kf_T_host
+            T_rel_np = np.eye(4, dtype=np.float32)
+            self.T_cw = self._latest_kf_T_dev
+        self._finish_frame(T_np, T_rel_np, n_inliers, bool(needs_kf))
+        return T_np
 
     def _latest_slot(self) -> int:
         fid = jnp.where(self.map.kf_valid, self.map.kf_frame_id, -1)
         return int(jnp.argmax(fid))
 
+    def _refresh_kf_mirrors(self):
+        """Refresh host mirrors + device landmark snapshot after any map
+        mutation (insert / BA / loop closure / cull). One jitted dispatch
+        + one small readback."""
+        self._lm, self._latest_kf_T_dev, counts = self._snapshot(self.map)
+        counts_np = np.asarray(counts)
+        self._latest_slot_host = int(counts_np[0])
+        self._n_kf_valid_host = int(counts_np[1])
+        self._latest_kf_T_host = np.asarray(self._latest_kf_T_dev)
+
     def _make_keyframe(self, frame, img_l, img_r, T_cw, ids, kpts, inliers,
                        run_ba: bool):
-        if self.n_keyframes >= self.cfg.map.max_keyframes:
-            # capacity guard: first-free-slot allocation would silently
-            # overwrite slot 0; refuse instead (culling lands later)
-            raise RuntimeError(
-                f"keyframe capacity {self.cfg.map.max_keyframes} exhausted")
+        cap = self.cfg.map.max_keyframes
+        if self._n_kf_valid_host >= cap - 2:
+            # near capacity: cull redundant keyframes (mapping/culling.py);
+            # if nothing is redundant enough the map is genuinely full
+            for _ in range(4):
+                kf_T_pre = np.asarray(self.map.kf_T_cw)
+                self.map, slot = self._cull(self.map)
+                s = int(slot)
+                if s < 0:
+                    break
+                # trajectory entries anchored to the culled slot must move
+                # to a surviving keyframe before the slot is reused
+                self._refresh_kf_mirrors()
+                new_anchor = self._latest_slot_host
+                T_new_inv = np.linalg.inv(kf_T_pre[new_anchor])
+                for i, (sl, rel) in enumerate(self._traj_anchor):
+                    if sl == s:
+                        T_abs = rel @ kf_T_pre[s]
+                        self._traj_anchor[i] = (new_anchor, T_abs @ T_new_inv)
+            self._refresh_kf_mirrors()
+            if self._n_kf_valid_host >= cap - 2:
+                raise RuntimeError(f"keyframe capacity {cap} exhausted "
+                                   f"(nothing redundant to cull)")
         frame = self._stereo(frame, img_l, img_r)
         if ids is None:
             L = self.cfg.map.track_landmarks
@@ -202,6 +311,26 @@ class SlamEngine:
             self._loop_step(frame, int(slot))
         if run_ba and self.n_keyframes >= 3:
             self.map = self._ba(self.map)
+        self._refresh_kf_mirrors()
+
+    def _try_relocalize(self, frame):
+        """BoW-rank keyframes against the lost frame; re-track the best.
+        Returns a corrected T_pred or None."""
+        from slam_toolkit_tpu.loop.vocab import l1_score
+        q = self._bow(frame.feats.desc, frame.feats.valid)
+        scores = np.asarray(l1_score(q, self.bow_db))
+        scores[~np.asarray(self.map.kf_valid)] = -1.0
+        for cand in np.argsort(-scores)[:3]:
+            if scores[cand] <= 0.0:
+                break
+            rel = self._reloc_fn(self.map, frame.feats, frame.norm_xy,
+                                 jnp.int32(int(cand)))
+            if bool(rel.ok):
+                self.loop_events.append(
+                    {"frame": self.frame_id, "reloc_to": int(cand),
+                     "inliers": int(rel.n_inliers)})
+                return rel.T_cw
+        return None
 
     # ----- loop closing (the mapping-thread work) ----------------------------
     def _loop_step(self, frame, slot: int):
@@ -252,13 +381,10 @@ class SlamEngine:
                  "inliers": int(rel.n_inliers)})
             break
 
-    def _finish_frame(self, T_cw, n_inliers: int, is_kf: bool):
-        self.T_cw = T_cw
-        T_np = np.asarray(T_cw)
+    def _finish_frame(self, T_np: np.ndarray, T_rel_np: np.ndarray,
+                      n_inliers: int, is_kf: bool):
         self.trajectory.append(T_np)
-        slot = self._latest_slot()
-        T_kf = np.asarray(self.map.kf_T_cw[slot])
-        self._traj_anchor.append((slot, T_np @ np.linalg.inv(T_kf)))
+        self._traj_anchor.append((self._latest_slot_host, T_rel_np))
         import time
         elapsed_ms = 1000.0 * (time.perf_counter()
                                - getattr(self, "_t_frame0", time.perf_counter()))

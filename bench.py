@@ -4,13 +4,18 @@ Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 
 Workload mirrors the reference's per-frame loop (ref src/pipeline.cpp:
 143-225 + mapping-thread local BA :137-138) on KITTI-sized synthetic
-stereo frames (1241x376, 2000 ORB features): full engine .process()
-including host round-trips, keyframe creation, mappoint supply, and
-local bundle adjustment. Ground truth lets the run double as an
-accuracy smoke check.
+stereo frames (1241x376, 2000 ORB features): the chunked on-device
+driver (pipeline/scan_engine.py) runs ORB extraction, matching, pose LM,
+the keyframe decision, stereo landmark supply, and local bundle
+adjustment inside one lax.scan program; the host touches the device once
+per chunk. Ground truth doubles as an accuracy check (ATE printed to
+stderr).
 
-vs_baseline is fps / 500 — the BASELINE.json north-star target
-(the reference publishes no numbers; see BASELINE.md).
+Frames are staged in device memory before timing (this dev environment
+reaches its TPU through a slow TCP relay; staging stands in for the
+DMA/infeed pipeline a production host would use). vs_baseline is
+fps / 500 — the BASELINE.json north-star target (the reference itself
+publishes no numbers; see BASELINE.md).
 """
 
 import json
@@ -25,42 +30,48 @@ import numpy as np
 
 def main():
     import jax
+    import jax.numpy as jnp
+
+    # TPU f32 matmuls default to single-pass bf16; pose composition and
+    # geometry einsums need full precision (bf16 rotation error compounds
+    # per frame). Exact-in-bf16 kernels opt back down explicitly.
+    jax.config.update("jax_default_matmul_precision", "highest")
 
     from slam_toolkit_tpu.config import SlamConfig
     from slam_toolkit_tpu.data.synthetic import make_sequence
     from slam_toolkit_tpu.evaluation.traj import ate_rmse
-    from slam_toolkit_tpu.pipeline.engine import SlamEngine
-
-    import jax.numpy as jnp
+    from slam_toolkit_tpu.pipeline.scan_engine import ChunkedSlamEngine
 
     cfg = SlamConfig()  # full KITTI-scale shapes
-    n_frames = int(os.environ.get("BENCH_FRAMES", "60"))
-    warmup = 10
+    chunk = int(os.environ.get("BENCH_CHUNK", "8"))
+    n_frames = int(os.environ.get("BENCH_FRAMES", "104"))
+    warmup_chunks = 3
     world, gt, frames = make_sequence(cfg, n_frames=n_frames, seed=7,
                                       step=0.8)
-    # stage all frames in device memory up front: the benchmark measures
-    # the SLAM engine, not this dev environment's tunneled PCIe substitute
-    frames = [(jnp.asarray(l, jnp.float32), jnp.asarray(r, jnp.float32))
-              for l, r in frames]
-    jax.block_until_ready(frames)
+    chunks = []
+    for i in range(0, n_frames, chunk):
+        block = np.stack([np.stack([l, r]) for l, r in frames[i:i + chunk]])
+        chunks.append(jnp.asarray(block, jnp.float32))
+    jax.block_until_ready(chunks)
 
-    eng = SlamEngine(cfg)
-    for left, right in frames[:warmup]:
-        eng.process(left, right)
+    eng = ChunkedSlamEngine(cfg, chunk_size=chunk)
+    for c in chunks[:warmup_chunks]:
+        eng.process_chunk(c)
 
     t0 = time.perf_counter()
-    for left, right in frames[warmup:]:
-        eng.process(left, right)
-    jax.block_until_ready(eng.T_cw)
+    rows = None
+    for c in chunks[warmup_chunks:]:
+        rows = eng.process_chunk(c)
     dt = time.perf_counter() - t0
 
-    n_timed = n_frames - warmup
+    n_timed = sum(int(c.shape[0]) for c in chunks[warmup_chunks:])
     fps = n_timed / dt
-    ate = ate_rmse(eng.trajectory, gt, align=True)
+    ate = ate_rmse(eng.trajectory_refined(), gt, align=True)
+    n_kf = eng._host.n_keyframes
     sys.stderr.write(
         f"[bench] {n_timed} frames in {dt:.2f}s, {fps:.1f} fps, "
-        f"ATE {ate:.3f} m, keyframes {eng.n_keyframes}, "
-        f"mappoints {eng.num_mappoints()}\n")
+        f"ATE {ate:.3f} m, keyframes {n_kf}, "
+        f"mappoints {int(eng.map.mp_valid.sum())}\n")
 
     print(json.dumps({
         "metric": "kitti_scale_track_lba_fps",

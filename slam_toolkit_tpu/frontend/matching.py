@@ -81,10 +81,11 @@ def projection_match(Xw: jnp.ndarray, mp_desc: jnp.ndarray,
 
     d2 = jnp.sum((uv[:, None, :] - frame_feats.xy[None, :, :]) ** 2, axis=-1)
     base = visible[:, None] & frame_feats.valid[None, :]
-    dist_r1 = hamming.masked_distance(
-        mp_desc, frame_feats.desc, base & (d2 <= radius * radius))
-    dist_r2 = hamming.masked_distance(
-        mp_desc, frame_feats.desc, base & (d2 <= 4.0 * radius * radius))
+    # one MXU distance matrix, two radius masks
+    dist = hamming.distance_matrix(mp_desc, frame_feats.desc)
+    dist_r1 = jnp.where(base & (d2 <= radius * radius), dist, hamming.BIG)
+    dist_r2 = jnp.where(base & (d2 <= 4.0 * radius * radius), dist,
+                        hamming.BIG)
 
     def resolve(dist):
         idx, ok = hamming.ratio_test_match(dist, cfg.ratio, cfg.max_hamming)

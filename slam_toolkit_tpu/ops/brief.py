@@ -73,6 +73,54 @@ def ic_angle(image: jnp.ndarray, centers_xy: jnp.ndarray) -> jnp.ndarray:
     return jnp.arctan2(m01, m10)
 
 
+@functools.lru_cache(maxsize=1)
+def _int_pattern() -> np.ndarray:
+    """Pattern offsets rounded to integers (the upright sampling grid)."""
+    return np.round(sampling_pattern()).astype(np.int64)
+
+
+def _shift2d(img: jnp.ndarray, dx: int, dy: int) -> jnp.ndarray:
+    """Image shifted so out[y, x] = img[y+dy, x+dx] (edge padded)."""
+    h, w = img.shape
+    pad = max(abs(dx), abs(dy), 1)
+    p = jnp.pad(img, pad, mode='edge')
+    return p[pad + dy:pad + dy + h, pad + dx:pad + dx + w]
+
+
+def dense_descriptor_map(blurred: jnp.ndarray) -> jnp.ndarray:
+    """Upright BRIEF at EVERY pixel: (H, W, 8) packed uint32.
+
+    The per-keypoint gather formulation costs ~0.5M random scalar
+    gathers per frame — the one thing a TPU does badly. Densely, each of
+    the 256 pattern comparisons is a shifted-image compare (pure VPU),
+    bit-packed with shifts/ors; keypoint descriptors then cost one
+    8-word row gather each. Identical bits to compute_descriptors at
+    angle 0 for integer keypoint coordinates.
+    """
+    pat = _int_pattern()                             # (2, 256, 2) ints
+    words = []
+    for widx in range(DESC_WORDS):
+        acc = jnp.zeros(blurred.shape, jnp.uint32)
+        for j in range(32):
+            k = widx * 32 + j
+            ax, ay = int(pat[0, k, 0]), int(pat[0, k, 1])
+            bx, by = int(pat[1, k, 0]), int(pat[1, k, 1])
+            bit = (_shift2d(blurred, ax, ay) <
+                   _shift2d(blurred, bx, by)).astype(jnp.uint32)
+            acc = acc | (bit << j)
+        words.append(acc)
+    return jnp.stack(words, axis=-1)
+
+
+def lookup_descriptors(desc_map: jnp.ndarray,
+                       centers_xy: jnp.ndarray) -> jnp.ndarray:
+    """Gather packed descriptors at integer keypoint coords (K, 8)."""
+    h, w = desc_map.shape[:2]
+    cx = jnp.clip(jnp.round(centers_xy[:, 0]).astype(jnp.int32), 0, w - 1)
+    cy = jnp.clip(jnp.round(centers_xy[:, 1]).astype(jnp.int32), 0, h - 1)
+    return desc_map[cy, cx]
+
+
 def compute_descriptors(blurred: jnp.ndarray, centers_xy: jnp.ndarray,
                         angles: jnp.ndarray) -> jnp.ndarray:
     """Rotation-steered 256-bit BRIEF, packed (K, 8) uint32.

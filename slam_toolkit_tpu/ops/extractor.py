@@ -59,12 +59,17 @@ def extract(image: jnp.ndarray, cfg: ExtractorConfig) -> FrameFeatures:
         # report the true (un-boosted) response, not the ranking value
         ix = xy.astype(jnp.int32)
         resp = jnp.where(valid, score_lo[ix[:, 1], ix[:, 0]], 0.0)
+        blurred = pyramid.gaussian_blur(img_l, 7, cfg.blur_sigma)
         if cfg.steer_rotation:
             angle = brief.ic_angle(img_l, xy)
+            desc = brief.compute_descriptors(blurred, xy, angle)
         else:
+            # upright: dense shifted-compare BRIEF (VPU) + one row gather
+            # per keypoint — avoids ~0.5M random gathers per frame, the
+            # TPU's weakest op
             angle = jnp.zeros((n_l,), jnp.float32)
-        blurred = pyramid.gaussian_blur(img_l, 7, cfg.blur_sigma)
-        desc = brief.compute_descriptors(blurred, xy, angle)
+            desc = brief.lookup_descriptors(
+                brief.dense_descriptor_map(blurred), xy)
         scale = cfg.scale_factor ** lvl
         parts.append(FrameFeatures(
             xy=xy * scale,

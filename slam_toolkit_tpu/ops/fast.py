@@ -24,29 +24,9 @@ CIRCLE_OFFSETS = (
 ARC_LENGTH = 9  # contiguous run required for a corner (FAST-9/16)
 
 
-def _shifted_views(image: jnp.ndarray) -> jnp.ndarray:
-    """Stack of the 16 circle-shifted images, shape (16, H, W).
-
-    Edge-padded by 3px; border responses are masked out by callers anyway.
-    """
-    padded = jnp.pad(image, 3, mode='edge')
-    h, w = image.shape
-    views = [padded[3 + dy:3 + dy + h, 3 + dx:3 + dx + w]
-             for (dy, dx) in CIRCLE_OFFSETS]
-    return jnp.stack(views, axis=0)
-
-
-def _contiguous_arc(mask16: jnp.ndarray) -> jnp.ndarray:
-    """mask16: (16, H, W) bool -> (H, W) bool, True if >= ARC_LENGTH
-    consecutive circle pixels (with wraparound) are set.
-
-    Packs the 16 booleans into an int32 bitmask, doubles it to handle
-    wraparound, and ANDs 8 shifted copies — pure VPU integer ops.
-    """
-    bits = mask16.astype(jnp.int32)
-    m = jnp.zeros_like(bits[0])
-    for k in range(16):
-        m = m | (bits[k] << k)
+def _arc_from_mask(m: jnp.ndarray) -> jnp.ndarray:
+    """int32 bitmask (H, W) -> bool, True if >= ARC_LENGTH consecutive
+    circle bits (with wraparound) are set — pure VPU integer ops."""
     m2 = m | (m << 16)
     r = m2
     for k in range(1, ARC_LENGTH):
@@ -60,37 +40,48 @@ def fast_response(image: jnp.ndarray, threshold: float) -> jnp.ndarray:
     Response is the sum over the circle of the excess beyond the threshold
     on the dominant (brighter/darker) side — a VPU-cheap stand-in for
     OpenCV's max-threshold score with near-identical NMS ranking.
+
+    Accumulates bitmasks and scores one shifted view at a time instead
+    of materializing a (16, H, W) stack (HBM traffic dominates at these
+    arithmetic intensities).
     """
-    shifted = _shifted_views(image)          # (16, H, W)
-    center = image[None]
-    diff = shifted - center
-    brighter = diff > threshold
-    darker = diff < -threshold
-    corner_b = _contiguous_arc(brighter)
-    corner_d = _contiguous_arc(darker)
-    score_b = jnp.sum(jnp.where(brighter, diff - threshold, 0.0), axis=0)
-    score_d = jnp.sum(jnp.where(darker, -diff - threshold, 0.0), axis=0)
-    score = jnp.maximum(jnp.where(corner_b, score_b, 0.0),
-                        jnp.where(corner_d, score_d, 0.0))
-    return score
+    h, w = image.shape
+    padded = jnp.pad(image, 3, mode='edge')
+    mask_b = jnp.zeros(image.shape, jnp.int32)
+    mask_d = jnp.zeros(image.shape, jnp.int32)
+    score_b = jnp.zeros(image.shape, jnp.float32)
+    score_d = jnp.zeros(image.shape, jnp.float32)
+    for k, (dy, dx) in enumerate(CIRCLE_OFFSETS):
+        diff = padded[3 + dy:3 + dy + h, 3 + dx:3 + dx + w] - image
+        b = diff > threshold
+        d = diff < -threshold
+        mask_b = mask_b | (b.astype(jnp.int32) << k)
+        mask_d = mask_d | (d.astype(jnp.int32) << k)
+        score_b = score_b + jnp.where(b, diff - threshold, 0.0)
+        score_d = score_d + jnp.where(d, -diff - threshold, 0.0)
+    corner_b = _arc_from_mask(mask_b)
+    corner_d = _arc_from_mask(mask_d)
+    return jnp.maximum(jnp.where(corner_b, score_b, 0.0),
+                       jnp.where(corner_d, score_d, 0.0))
 
 
 def nms3x3(score: jnp.ndarray) -> jnp.ndarray:
-    """Keep only 3x3 local maxima (ties broken toward top-left)."""
+    """Keep only 3x3 local maxima (ties broken toward top-left).
+
+    Accumulator form — no (9, H, W) stack materialization."""
     padded = jnp.pad(score, 1, mode='constant', constant_values=-1.0)
     h, w = score.shape
-    neighborhood = jnp.stack(
-        [padded[dy:dy + h, dx:dx + w]
-         for dy in range(3) for dx in range(3)], axis=0)
-    maxval = jnp.max(neighborhood, axis=0)
-    # strict tie-break: a pixel survives if it equals the max AND no earlier
-    # (row-major) neighbor equals the max.
+    maxval = None
+    earlier = None
+    for i, (dy, dx) in enumerate([(dy, dx) for dy in range(3)
+                                  for dx in range(3)]):
+        v = padded[dy:dy + h, dx:dx + w]
+        maxval = v if maxval is None else jnp.maximum(maxval, v)
+        if i < 4:  # row-major neighbors before the center
+            e = v >= score
+            earlier = e if earlier is None else (earlier | e)
     is_max = (score >= maxval) & (score > 0.0)
-    earlier = jnp.stack(
-        [padded[dy:dy + h, dx:dx + w]
-         for dy in range(3) for dx in range(3)][:4], axis=0)
-    has_earlier_equal = jnp.any(earlier >= score[None], axis=0) & is_max
-    return jnp.where(is_max & ~has_earlier_equal, score, 0.0)
+    return jnp.where(is_max & ~earlier, score, 0.0)
 
 
 def detect(image: jnp.ndarray, threshold: float,

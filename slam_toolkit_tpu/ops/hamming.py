@@ -18,10 +18,28 @@ import jax.numpy as jnp
 BIG = jnp.float32(1e9)  # sentinel distance for masked-out pairs
 
 
+def unpack_pm1(desc: jnp.ndarray) -> jnp.ndarray:
+    """(N, 8) packed uint32 -> (N, 256) bf16 in {-1, +1}."""
+    bits = (desc[:, :, None] >> jnp.arange(32, dtype=jnp.uint32)) & 1
+    n = desc.shape[0]
+    return (2.0 * bits.reshape(n, 256).astype(jnp.bfloat16) - 1.0)
+
+
 def distance_matrix(desc_a: jnp.ndarray, desc_b: jnp.ndarray) -> jnp.ndarray:
-    """(M, 8) x (N, 8) packed uint32 -> (M, N) int32 Hamming distances."""
-    x = jnp.bitwise_xor(desc_a[:, None, :], desc_b[None, :, :])
-    return jnp.sum(jax.lax.population_count(x).astype(jnp.int32), axis=-1)
+    """(M, 8) x (N, 8) packed uint32 -> (M, N) Hamming distances (f32).
+
+    Computed on the MXU: with bits mapped to +/-1, a.b = 256 - 2*hamming,
+    so the full distance matrix is one (M, 256) x (256, N) bf16 matmul —
+    the XOR+popcount broadcast formulation materializes an (M, N, 8)
+    tensor (hundreds of MB) and ran HBM-crippled in traces.
+    """
+    fa = unpack_pm1(desc_a)
+    fb = unpack_pm1(desc_b)
+    # single-pass bf16 is EXACT here (+/-1 products, f32 accumulation),
+    # so opt out of any global highest-precision default
+    dot = jnp.dot(fa, fb.T, preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.DEFAULT)
+    return 0.5 * (256.0 - dot)
 
 
 def masked_distance(desc_a: jnp.ndarray, desc_b: jnp.ndarray,

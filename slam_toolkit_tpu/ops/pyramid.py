@@ -27,30 +27,45 @@ def level_shapes(height: int, width: int,
     return shapes
 
 
+_RESIZE_CACHE = {}
+
+
+def _resize_matrix(n_in: int, n_out: int):
+    """Bilinear interpolation matrix (n_out, n_in), host-cached numpy
+    (pixel-center sampling, like cv::resize INTER_LINEAR)."""
+    import numpy as np
+    key = (n_in, n_out)
+    if key not in _RESIZE_CACHE:
+        x = (np.arange(n_out, dtype=np.float64) + 0.5) * (n_in / n_out) - 0.5
+        x = np.clip(x, 0.0, n_in - 1.0)
+        x0 = np.floor(x).astype(np.int64)
+        x1 = np.minimum(x0 + 1, n_in - 1)
+        f = x - x0
+        M = np.zeros((n_out, n_in), np.float32)
+        M[np.arange(n_out), x0] += (1.0 - f)
+        M[np.arange(n_out), x1] += f
+        _RESIZE_CACHE[key] = M
+    return _RESIZE_CACHE[key]
+
+
 def resize_bilinear(image: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
     """Bilinear resize of a 2D image to a static target shape.
 
-    Uses align-corners=False (pixel-center) sampling like cv::resize(INTER_LINEAR).
-    Implemented as two 1-D gathers + lerps, which XLA fuses well on TPU.
+    Expressed as two banded interpolation MATMULS (out = Ry @ img @ Cx^T):
+    column gathers are among the slowest TPU ops, while the MXU eats
+    these small dense contractions for free.
     """
     h, w = image.shape
     oh, ow = out_hw
     if (oh, ow) == (h, w):
         return image
-
-    def axis_coords(n_in, n_out):
-        x = (jnp.arange(n_out, dtype=jnp.float32) + 0.5) * (n_in / n_out) - 0.5
-        x = jnp.clip(x, 0.0, n_in - 1.0)
-        x0 = jnp.floor(x).astype(jnp.int32)
-        x1 = jnp.minimum(x0 + 1, n_in - 1)
-        f = x - x0
-        return x0, x1, f
-
-    y0, y1, fy = axis_coords(h, oh)
-    x0, x1, fx = axis_coords(w, ow)
-    top = image[y0, :] * (1.0 - fy)[:, None] + image[y1, :] * fy[:, None]
-    out = top[:, x0] * (1.0 - fx)[None, :] + top[:, x1] * fx[None, :]
-    return out
+    Ry = jnp.asarray(_resize_matrix(h, oh), image.dtype)
+    Cx = jnp.asarray(_resize_matrix(w, ow), image.dtype)
+    # full f32 precision: TPU's default f32-matmul path is bf16, whose
+    # ~0.4% intensity error shifts FAST corners and flips BRIEF bits
+    hi = jax.lax.Precision.HIGHEST
+    return jnp.matmul(jnp.matmul(Ry, image, precision=hi), Cx.T,
+                      precision=hi)
 
 
 def build_pyramid(image: jnp.ndarray, cfg: ExtractorConfig) -> List[jnp.ndarray]:
@@ -74,14 +89,21 @@ def gaussian_blur(image: jnp.ndarray, size: int = 7,
     """Separable Gaussian blur with reflect-101 padding.
 
     Matches the pre-BRIEF GaussianBlur(7x7, sigma=2, BORDER_REFLECT_101)
-    at ref src/orb_extractor.cpp:1086.
+    at ref src/orb_extractor.cpp:1086. Implemented as weighted shifted
+    adds, NOT lax.conv: a single-channel conv leaves the MXU 99% idle
+    and ran at 8 GFLOP/s in traces; shift-add is pure VPU at full HBM
+    bandwidth.
     """
-    k = jnp.asarray(_gaussian_kernel1d(size, sigma), dtype=image.dtype)
+    k = _gaussian_kernel1d(size, sigma)
     half = size // 2
     padded = jnp.pad(image, ((half, half), (half, half)), mode='reflect')
-    x = padded[None, None]  # NCHW
-    kh = k.reshape(1, 1, size, 1)
-    kw = k.reshape(1, 1, 1, size)
-    x = jax.lax.conv_general_dilated(x, kh, (1, 1), 'VALID')
-    x = jax.lax.conv_general_dilated(x, kw, (1, 1), 'VALID')
-    return x[0, 0]
+    h, w = image.shape
+    rows = None
+    for i in range(size):
+        term = k[i] * padded[i:i + h, :]
+        rows = term if rows is None else rows + term
+    out = None
+    for i in range(size):
+        term = k[i] * rows[:, i:i + w]
+        out = term if out is None else out + term
+    return out

@@ -98,6 +98,35 @@ def _edge_terms(T_cw, Xw, z, inv_sigma, w_mask, s_mask, baseline, delta,
     return r, w_rob, Jp, Jl, row_w
 
 
+def _inv3x3(A: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form batched 3x3 inverse (adjugate/determinant).
+
+    jnp.linalg.inv lowers to a vmapped LU that ran ~0.8 ms per call in
+    traces; the cofactor form is ~30 elementwise ops on the VPU.
+    """
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    m00 = e * i - f * h
+    m01 = c * h - b * i
+    m02 = b * f - c * e
+    m10 = f * g - d * i
+    m11 = a * i - c * g
+    m12 = c * d - a * f
+    m20 = d * h - e * g
+    m21 = b * g - a * h
+    m22 = a * e - b * d
+    det = a * m00 + b * m10 + c * m20
+    det = jnp.where(jnp.abs(det) < 1e-12,
+                    jnp.where(det < 0, -1e-12, 1e-12), det)
+    inv = jnp.stack([
+        jnp.stack([m00, m01, m02], axis=-1),
+        jnp.stack([m10, m11, m12], axis=-1),
+        jnp.stack([m20, m21, m22], axis=-1),
+    ], axis=-2)
+    return inv / det[..., None, None]
+
+
 def _cost(r, row_w, delta, trim_sigma: float = 1e9):
     rn = jnp.sqrt(jnp.sum(r * r * row_w, axis=-1) + 1e-12)
     active = jnp.any(row_w > 0, axis=-1)
@@ -145,7 +174,7 @@ def solve_ba(p: BAProblem, iters: int = 10, huber_delta: float = 2.4477468,
         pt_active = p.point_valid & (jnp.sum(w_mask, axis=0) > 0)
         Hll_d = jnp.where(pt_active[:, None, None], Hll_d, eyep)
         bl = jnp.where(pt_active[:, None], bl, 0.0)
-        Hll_inv = jnp.linalg.inv(Hll_d)                         # (P, 3, 3)
+        Hll_inv = _inv3x3(Hll_d)                                # (P, 3, 3)
 
         # Schur complement S = Hpp - Hpl Hll^-1 Hlp, rhs = bp - Hpl Hll^-1 bl
         HplHinv = jnp.einsum('wpab,pbc->wpac', Hpl, Hll_inv)    # (W, P, 6, 3)

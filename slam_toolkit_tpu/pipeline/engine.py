@@ -336,6 +336,11 @@ class SlamEngine:
     def _loop_step(self, frame, slot: int):
         q = self._bow(frame.feats.desc, frame.feats.valid)
         self.bow_db = self.bow_db.at[slot].set(q)
+        self._loop_kf_detect(slot, q)
+
+    def _loop_kf_detect(self, slot: int, q):
+        """Detection + consistency + closure for one new keyframe (also
+        driven per-chunk by the scan engine)."""
         if self.n_keyframes < 3:
             return
         sc = self._loop_score(self.map, self.bow_db, q, jnp.int32(slot))

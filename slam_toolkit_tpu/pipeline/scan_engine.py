@@ -1,0 +1,220 @@
+"""Chunked on-device SLAM driver: lax.scan over frames, zero per-frame
+host round-trips.
+
+This is the design SURVEY.md §3.5 prescribes: everything from ORB
+extraction through pose LM and local BA lives inside ONE jitted program;
+the host touches the device once per CHUNK (upload C stereo pairs, read
+back C packed result rows). The keyframe decision — the reference's only
+host-side branch (ref src/pipeline.cpp:302-306) — runs on-device inside
+lax.cond, including stereo extraction, landmark supply, local BA, and
+the landmark-snapshot refresh.
+
+Loop detection/closing and keyframe culling remain host-orchestrated
+between chunks (they are rare and need small host bookkeeping), exactly
+like the reference's second thread.
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from slam_toolkit_tpu.config import SlamConfig
+from slam_toolkit_tpu.frontend.frame import add_stereo, build_frame
+from slam_toolkit_tpu.frontend.tracker import track_pose
+from slam_toolkit_tpu.geometry import se3
+from slam_toolkit_tpu.geometry.camera import StereoCamera
+from slam_toolkit_tpu.mapping import keyframe as kf_rule
+from slam_toolkit_tpu.mapping.ba_adapter import local_ba_step
+from slam_toolkit_tpu.mapping.map_state import (MapState, empty_map,
+                                                gather_local_landmarks,
+                                                insert_keyframe)
+
+
+class ChunkCarry(NamedTuple):
+    m: MapState
+    T_cw: jnp.ndarray          # (4, 4)
+    velocity: jnp.ndarray      # (4, 4)
+    lm_Xw: jnp.ndarray         # (L, 3) landmark snapshot
+    lm_desc: jnp.ndarray       # (L, 8)
+    lm_ids: jnp.ndarray        # (L,)
+    lm_valid: jnp.ndarray      # (L,)
+    latest_slot: jnp.ndarray   # () int32
+    latest_T: jnp.ndarray      # (4, 4) pose of the latest keyframe
+    frame_id: jnp.ndarray      # () int32
+
+
+PACK_WIDTH = 16 + 16 + 4  # T, T_rel, [slot, ok, kf, n_inliers]
+
+
+def make_chunk_fn(cfg: SlamConfig, cam: StereoCamera):
+    """Returns jit(chunk)(carry, images (C, 2, H, W)) -> (carry, (C, 36))."""
+
+    def frame_body(carry: ChunkCarry, stereo):
+        left, right = stereo[0], stereo[1]
+        frame = build_frame(left, cam, cfg)
+        T_pred = carry.velocity @ carry.T_cw
+        res = track_pose(frame, carry.lm_Xw, carry.lm_desc, carry.lm_valid,
+                         T_pred, cam, cfg)
+        matched_xy = frame.feats.xy[res.mp_kpt]
+        needs = kf_rule.needs_keyframe(
+            matched_xy, res.mp_inlier, cfg.camera.width, cfg.camera.height,
+            cfg.keyframe) | ~res.ok
+        T_new = jnp.where(res.ok, res.T_cw, T_pred)
+        vel_new = se3.normalize(T_new @ se3.inv(carry.T_cw))
+
+        def kf_branch(op):
+            m, fr = op
+            fr2 = add_stereo(fr, left, right, cam, cfg)
+            m2, slot = insert_keyframe(m, fr2, T_new, carry.frame_id,
+                                       carry.lm_ids, res.mp_kpt,
+                                       res.mp_inlier, cfg)
+            # local BA runs unconditionally: with <3 keyframes every
+            # window pose is gauge-fixed and the solve is a no-op
+            m3 = local_ba_step(m2, cam, cfg)
+            lm = gather_local_landmarks(
+                m3, cfg.map.track_landmarks, cfg.map.track_recent_kfs)
+            return m3, lm, slot.astype(jnp.int32), m3.kf_T_cw[slot]
+
+        def no_branch(op):
+            m, _ = op
+            lm = (carry.lm_Xw, carry.lm_desc, carry.lm_ids, carry.lm_valid)
+            return m, lm, carry.latest_slot, carry.latest_T
+
+        m_new, lm, slot, latest_T = jax.lax.cond(
+            needs, kf_branch, no_branch, (carry.m, frame))
+        # the keyframe pose may have moved in BA; report the map's version
+        T_out = jnp.where(needs, latest_T, T_new)
+        T_rel = T_out @ se3.inv(latest_T)
+        packed = jnp.concatenate([
+            T_out.reshape(-1), T_rel.reshape(-1),
+            jnp.stack([slot.astype(jnp.float32),
+                       res.ok.astype(jnp.float32),
+                       needs.astype(jnp.float32),
+                       res.n_inliers.astype(jnp.float32)])])
+        new_carry = ChunkCarry(
+            m=m_new, T_cw=T_out, velocity=vel_new,
+            lm_Xw=lm[0], lm_desc=lm[1], lm_ids=lm[2], lm_valid=lm[3],
+            latest_slot=slot, latest_T=latest_T,
+            frame_id=carry.frame_id + 1)
+        return new_carry, packed
+
+    @jax.jit
+    def chunk(carry: ChunkCarry, images: jnp.ndarray):
+        return jax.lax.scan(frame_body, carry, images)
+
+    return chunk
+
+
+class ChunkedSlamEngine:
+    """Host driver over device chunks; loop closing between chunks."""
+
+    def __init__(self, cfg: Optional[SlamConfig] = None,
+                 cam: Optional[StereoCamera] = None, vocab=None,
+                 chunk_size: int = 8):
+        self.cfg = cfg or SlamConfig()
+        self.cam = cam or StereoCamera.from_config(self.cfg.camera)
+        self.vocab = vocab
+        self.chunk_size = chunk_size
+        self._chunk = make_chunk_fn(self.cfg, self.cam)
+        # reuse the classic engine for bootstrap + loop/cull machinery
+        from slam_toolkit_tpu.pipeline.engine import SlamEngine
+        self._host = SlamEngine(self.cfg, self.cam, vocab=vocab)
+        self.trajectory: List[np.ndarray] = []
+        self._traj_anchor: List[tuple] = []
+        self.frame_stats: List[dict] = []
+
+    @property
+    def map(self) -> MapState:
+        return self._host.map
+
+    @property
+    def loop_events(self):
+        return self._host.loop_events
+
+    def _carry(self) -> ChunkCarry:
+        h = self._host
+        lm = h._lm
+        return ChunkCarry(
+            m=h.map, T_cw=h.T_cw, velocity=h.velocity,
+            lm_Xw=lm[0], lm_desc=lm[1], lm_ids=lm[2], lm_valid=lm[3],
+            latest_slot=jnp.int32(h._latest_slot_host),
+            latest_T=h._latest_kf_T_dev,
+            frame_id=jnp.int32(h.frame_id))
+
+    def process_chunk(self, images) -> np.ndarray:
+        """images: (C, 2, H, W) float32 (numpy or device). Returns the
+        (C, 36) packed rows [T(16), T_rel(16), slot, ok, kf, n_inliers]."""
+        import time
+        t0 = time.perf_counter()
+        if self._host.n_keyframes == 0:
+            # bootstrap the first keyframe through the host engine
+            first = np.asarray(images[0])
+            self._host.process(first[0], first[1])
+            self.trajectory.append(self._host.trajectory[-1])
+            self._traj_anchor.append(self._host._traj_anchor[-1])
+            images = images[1:]
+            if len(images) == 0:
+                return np.zeros((0, PACK_WIDTH), np.float32)
+
+        imgs = images if isinstance(images, jnp.ndarray) \
+            else jnp.asarray(images, jnp.float32)
+        carry, packed = self._chunk(self._carry(), imgs)
+        packed_np = np.asarray(packed)            # ONE readback per chunk
+
+        # fold results back into host state
+        h = self._host
+        h.map = carry.m
+        h.T_cw = carry.T_cw
+        h.velocity = carry.velocity
+        h._lm = (carry.lm_Xw, carry.lm_desc, carry.lm_ids, carry.lm_valid)
+        h.frame_id = int(carry.frame_id)
+        n_new_kf = int(packed_np[:, 34].sum())
+        h.n_keyframes += n_new_kf
+
+        dt_ms = 1000.0 * (time.perf_counter() - t0) / max(len(packed_np), 1)
+        for row in packed_np:
+            self.trajectory.append(row[:16].reshape(4, 4))
+            self._traj_anchor.append((int(row[32]), row[16:32].reshape(4, 4)))
+            self.frame_stats.append({"inliers": int(row[35]),
+                                     "kf": row[34] > 0.5,
+                                     "ok": row[33] > 0.5,
+                                     "elapsed_ms": round(dt_ms, 2)})
+        h._refresh_kf_mirrors()
+
+        # host-side mapping-thread work between chunks
+        if self.vocab is not None and n_new_kf:
+            self._loop_between_chunks(packed_np)
+        return packed_np
+
+    def _loop_between_chunks(self, packed_np: np.ndarray):
+        """BoW-register each new keyframe and run detection/closing."""
+        h = self._host
+        for row in packed_np:
+            if row[34] <= 0.5:
+                continue
+            slot = int(row[32])
+            desc = h.map.kf_desc[slot]
+            valid = h.map.kf_kpt_valid[slot]
+            q = h._bow(desc, valid)
+            h.bow_db = h.bow_db.at[slot].set(q)
+            h._loop_kf_detect(slot, q)
+        h._refresh_kf_mirrors()
+
+    def trajectory_refined(self) -> List[np.ndarray]:
+        kf_T = np.asarray(self._host.map.kf_T_cw)
+        return [rel @ kf_T[slot] for slot, rel in self._traj_anchor]
+
+    def run(self, frames) -> None:
+        """Convenience: iterate (left, right) pairs in chunks."""
+        buf = []
+        for left, right in frames:
+            buf.append(np.stack([left, right]))
+            if len(buf) == self.chunk_size:
+                self.process_chunk(np.stack(buf))
+                buf = []
+        if buf:
+            self.process_chunk(np.stack(buf))

@@ -32,10 +32,6 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    # TPU f32 matmuls default to single-pass bf16; pose composition and
-    # geometry einsums need full precision (bf16 rotation error compounds
-    # per frame). Exact-in-bf16 kernels opt back down explicitly.
-    jax.config.update("jax_default_matmul_precision", "highest")
 
     from slam_toolkit_tpu.config import SlamConfig
     from slam_toolkit_tpu.data.synthetic import make_sequence

@@ -13,9 +13,16 @@ small-angle branch is a jnp.where on Taylor expansions).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 _EPS = 1e-8
+_HI = jax.lax.Precision.HIGHEST  # 4x4/3x3 pose math: bf16 matmul error
+#                                   compounds across thousands of frames
+
+
+def _mm(a, b):
+    return jnp.matmul(a, b, precision=_HI)
 
 
 def hat(w: jnp.ndarray) -> jnp.ndarray:
@@ -56,7 +63,7 @@ def so3_exp(phi: jnp.ndarray) -> jnp.ndarray:
     a, b, _ = _so3_coeffs(theta2)
     W = hat(phi)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=phi.dtype), W.shape)
-    return eye + a[..., None, None] * W + b[..., None, None] * (W @ W)
+    return eye + a[..., None, None] * W + b[..., None, None] * _mm(W, W)
 
 
 def so3_log(R: jnp.ndarray) -> jnp.ndarray:
@@ -95,9 +102,9 @@ def exp(xi: jnp.ndarray) -> jnp.ndarray:
     a, b, c = _so3_coeffs(theta2)
     W = hat(phi)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=xi.dtype), W.shape)
-    R = eye + a[..., None, None] * W + b[..., None, None] * (W @ W)
-    V = eye + b[..., None, None] * W + c[..., None, None] * (W @ W)
-    t = jnp.einsum('...ij,...j->...i', V, rho)
+    R = eye + a[..., None, None] * W + b[..., None, None] * _mm(W, W)
+    V = eye + b[..., None, None] * W + c[..., None, None] * _mm(W, W)
+    t = jnp.einsum('...ij,...j->...i', V, rho, precision=_HI)
     return make(R, t)
 
 
@@ -114,8 +121,8 @@ def log(T: jnp.ndarray) -> jnp.ndarray:
     small = theta2 < 1e-8
     coef = jnp.where(small, 1.0 / 12.0 + theta2 / 720.0,
                      (1.0 - a / (2.0 * b)) / jnp.maximum(theta2, _EPS))
-    Vinv = eye - 0.5 * W + coef[..., None, None] * (W @ W)
-    rho = jnp.einsum('...ij,...j->...i', Vinv, t)
+    Vinv = eye - 0.5 * W + coef[..., None, None] * _mm(W, W)
+    rho = jnp.einsum('...ij,...j->...i', Vinv, t, precision=_HI)
     return jnp.concatenate([rho, phi], axis=-1)
 
 
@@ -130,6 +137,11 @@ def make(R: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([top, bottom[..., None, :]], axis=-2)
 
 
+def compose(A: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
+    """Full-precision pose composition A @ B."""
+    return _mm(A, B)
+
+
 def identity(batch: tuple = (), dtype=jnp.float32) -> jnp.ndarray:
     return jnp.broadcast_to(jnp.eye(4, dtype=dtype), batch + (4, 4))
 
@@ -139,12 +151,13 @@ def inv(T: jnp.ndarray) -> jnp.ndarray:
     R = T[..., :3, :3]
     t = T[..., :3, 3]
     Rt = jnp.swapaxes(R, -1, -2)
-    return make(Rt, -jnp.einsum('...ij,...j->...i', Rt, t))
+    return make(Rt, -jnp.einsum('...ij,...j->...i', Rt, t, precision=_HI))
 
 
 def transform(T: jnp.ndarray, X: jnp.ndarray) -> jnp.ndarray:
     """Apply (..., 4, 4) to points (..., 3)."""
-    return jnp.einsum('...ij,...j->...i', T[..., :3, :3], X) + T[..., :3, 3]
+    return jnp.einsum('...ij,...j->...i', T[..., :3, :3], X,
+                      precision=_HI) + T[..., :3, 3]
 
 
 def normalize(T: jnp.ndarray) -> jnp.ndarray:

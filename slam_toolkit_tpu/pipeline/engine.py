@@ -112,15 +112,15 @@ class SlamEngine:
                    kf_T_latest):
             """Per-frame hot path. Returns device state + ONE packed host
             vector so the driver pays a single readback per frame."""
-            T_pred = velocity @ T_prev
+            T_pred = se3.compose(velocity, T_prev)
             res = track_pose(frame, Xw, desc, valid, T_pred, cam, cfg)
             matched_xy = frame.feats.xy[res.mp_kpt]
             needs = kf_rule.needs_keyframe(
                 matched_xy, res.mp_inlier, cfg.camera.width,
                 cfg.camera.height, cfg.keyframe)
             T_new = jnp.where(res.ok, res.T_cw, T_pred)
-            vel_new = se3.normalize(T_new @ se3.inv(T_prev))
-            T_rel = T_new @ se3.inv(kf_T_latest)
+            vel_new = se3.normalize(se3.compose(T_new, se3.inv(T_prev)))
+            T_rel = se3.compose(T_new, se3.inv(kf_T_latest))
             packed = jnp.concatenate([
                 T_new.reshape(-1), T_rel.reshape(-1),
                 jnp.stack([res.ok.astype(jnp.float32),

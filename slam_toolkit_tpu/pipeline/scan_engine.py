@@ -56,7 +56,7 @@ def make_chunk_fn(cfg: SlamConfig, cam: StereoCamera):
     def frame_body(carry: ChunkCarry, stereo):
         left, right = stereo[0], stereo[1]
         frame = build_frame(left, cam, cfg)
-        T_pred = carry.velocity @ carry.T_cw
+        T_pred = se3.compose(carry.velocity, carry.T_cw)
         res = track_pose(frame, carry.lm_Xw, carry.lm_desc, carry.lm_valid,
                          T_pred, cam, cfg)
         matched_xy = frame.feats.xy[res.mp_kpt]
@@ -64,7 +64,7 @@ def make_chunk_fn(cfg: SlamConfig, cam: StereoCamera):
             matched_xy, res.mp_inlier, cfg.camera.width, cfg.camera.height,
             cfg.keyframe) | ~res.ok
         T_new = jnp.where(res.ok, res.T_cw, T_pred)
-        vel_new = se3.normalize(T_new @ se3.inv(carry.T_cw))
+        vel_new = se3.normalize(se3.compose(T_new, se3.inv(carry.T_cw)))
 
         def kf_branch(op):
             m, fr = op
@@ -88,7 +88,7 @@ def make_chunk_fn(cfg: SlamConfig, cam: StereoCamera):
             needs, kf_branch, no_branch, (carry.m, frame))
         # the keyframe pose may have moved in BA; report the map's version
         T_out = jnp.where(needs, latest_T, T_new)
-        T_rel = T_out @ se3.inv(latest_T)
+        T_rel = se3.compose(T_out, se3.inv(latest_T))
         packed = jnp.concatenate([
             T_out.reshape(-1), T_rel.reshape(-1),
             jnp.stack([slot.astype(jnp.float32),

@@ -120,6 +120,10 @@ class ChunkedSlamEngine:
         self.vocab = vocab
         self.chunk_size = chunk_size
         self._chunk = make_chunk_fn(self.cfg, self.cam)
+        # device-resident carry reused across chunks; None whenever host
+        # machinery (bootstrap / loop closure / culling) mutated the map,
+        # forcing a rebuild from host mirrors
+        self._carry_cache: Optional[ChunkCarry] = None
         # reuse the classic engine for bootstrap + loop/cull machinery
         from slam_toolkit_tpu.pipeline.engine import SlamEngine
         self._host = SlamEngine(self.cfg, self.cam, vocab=vocab)
@@ -160,20 +164,28 @@ class ChunkedSlamEngine:
             if len(images) == 0:
                 return np.zeros((0, PACK_WIDTH), np.float32)
 
+        self._ensure_headroom()
         imgs = images if isinstance(images, jnp.ndarray) \
             else jnp.asarray(images, jnp.float32)
-        carry, packed = self._chunk(self._carry(), imgs)
+        carry_in = self._carry_cache if self._carry_cache is not None \
+            else self._carry()
+        carry, packed = self._chunk(carry_in, imgs)
         packed_np = np.asarray(packed)            # ONE readback per chunk
+        self._carry_cache = carry
 
-        # fold results back into host state
+        # fold results back into host state — all host arithmetic; a
+        # device sync here would pay the relay round-trip a second time
         h = self._host
         h.map = carry.m
         h.T_cw = carry.T_cw
         h.velocity = carry.velocity
         h._lm = (carry.lm_Xw, carry.lm_desc, carry.lm_ids, carry.lm_valid)
-        h.frame_id = int(carry.frame_id)
+        h._latest_kf_T_dev = carry.latest_T
+        h.frame_id += len(packed_np)
         n_new_kf = int(packed_np[:, 34].sum())
         h.n_keyframes += n_new_kf
+        h._n_kf_valid_host += n_new_kf
+        h._latest_slot_host = int(packed_np[-1, 32])
 
         dt_ms = 1000.0 * (time.perf_counter() - t0) / max(len(packed_np), 1)
         for row in packed_np:
@@ -183,16 +195,39 @@ class ChunkedSlamEngine:
                                      "kf": row[34] > 0.5,
                                      "ok": row[33] > 0.5,
                                      "elapsed_ms": round(dt_ms, 2)})
-        h._refresh_kf_mirrors()
 
         # host-side mapping-thread work between chunks
         if self.vocab is not None and n_new_kf:
             self._loop_between_chunks(packed_np)
         return packed_np
 
+    def _ensure_headroom(self):
+        """Cull redundant keyframes when the ring nears capacity (the scan
+        program inserts blindly; headroom must exist before dispatch)."""
+        h = self._host
+        cap = self.cfg.map.max_keyframes
+        if h._n_kf_valid_host < cap - self.chunk_size - 2:
+            return
+        while h._n_kf_valid_host >= cap - self.chunk_size - 2:
+            kf_T_pre = np.asarray(h.map.kf_T_cw)
+            h.map, slot = h._cull(h.map)
+            s = int(slot)
+            if s < 0:
+                raise RuntimeError(
+                    f"keyframe capacity {cap} exhausted (nothing redundant)")
+            h._refresh_kf_mirrors()
+            new_anchor = h._latest_slot_host
+            T_new_inv = np.linalg.inv(kf_T_pre[new_anchor])
+            for i, (sl, rel) in enumerate(self._traj_anchor):
+                if sl == s:
+                    self._traj_anchor[i] = (
+                        new_anchor, (rel @ kf_T_pre[s]) @ T_new_inv)
+        self._carry_cache = None
+
     def _loop_between_chunks(self, packed_np: np.ndarray):
         """BoW-register each new keyframe and run detection/closing."""
         h = self._host
+        map_before = h.map
         for row in packed_np:
             if row[34] <= 0.5:
                 continue
@@ -202,7 +237,11 @@ class ChunkedSlamEngine:
             q = h._bow(desc, valid)
             h.bow_db = h.bow_db.at[slot].set(q)
             h._loop_kf_detect(slot, q)
-        h._refresh_kf_mirrors()
+        if h.map is not map_before:
+            # a loop closure moved keyframes/landmarks: resync mirrors and
+            # drop the cached carry so the next chunk sees corrected state
+            h._refresh_kf_mirrors()
+            self._carry_cache = None
 
     def trajectory_refined(self) -> List[np.ndarray]:
         kf_T = np.asarray(self._host.map.kf_T_cw)

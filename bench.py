@@ -39,8 +39,10 @@ def main():
     from slam_toolkit_tpu.pipeline.scan_engine import ChunkedSlamEngine
 
     cfg = SlamConfig()  # full KITTI-scale shapes
-    chunk = int(os.environ.get("BENCH_CHUNK", "8"))
-    n_frames = int(os.environ.get("BENCH_FRAMES", "104"))
+    chunk = int(os.environ.get("BENCH_CHUNK", "16"))
+    # keep n_frames a multiple of chunk: a ragged tail chunk would
+    # recompile the scan inside the timed window
+    n_frames = int(os.environ.get("BENCH_FRAMES", "160"))
     warmup_chunks = 3
     world, gt, frames = make_sequence(cfg, n_frames=n_frames, seed=7,
                                       step=0.8)

@@ -112,6 +112,45 @@ def dense_descriptor_map(blurred: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack(words, axis=-1)
 
 
+def upright_patch_descriptors(blurred: jnp.ndarray,
+                              centers_xy: jnp.ndarray) -> jnp.ndarray:
+    """Upright BRIEF at K keypoints via block loads: (K, 8) packed uint32.
+
+    dense_descriptor_map computes 256 comparisons at EVERY pixel
+    (~0.5G ops/level); per-keypoint element gathers are the TPU's
+    weakest access pattern. This middle road vmaps dynamic_slice to load
+    one contiguous (31, 31) patch per keypoint, then evaluates the 256
+    pattern comparisons as static in-patch picks — identical bits to
+    lookup_descriptors(dense_descriptor_map(img), xy) for interior
+    integer keypoints (extractor border >= patch_radius+1 guarantees
+    interiority for every valid keypoint).
+    """
+    import jax
+    h, w = blurred.shape
+    r = PATCH_RADIUS
+    side = 2 * r + 1
+    cx = jnp.round(centers_xy[:, 0]).astype(jnp.int32)
+    cy = jnp.round(centers_xy[:, 1]).astype(jnp.int32)
+    y0 = jnp.clip(cy - r, 0, h - side)
+    x0 = jnp.clip(cx - r, 0, w - side)
+
+    def one(y, x):
+        return jax.lax.dynamic_slice(blurred, (y, x), (side, side))
+    patches = jax.vmap(one)(y0, x0)                   # (K, 31, 31)
+    flat = patches.reshape(patches.shape[0], side * side)
+
+    pat = _int_pattern()                              # (2, 256, 2)
+    idx_a = (pat[0, :, 1] + r) * side + (pat[0, :, 0] + r)   # (256,) np
+    idx_b = (pat[1, :, 1] + r) * side + (pat[1, :, 0] + r)
+    va = flat[:, jnp.asarray(idx_a)]                  # (K, 256) static picks
+    vb = flat[:, jnp.asarray(idx_b)]
+    bits = (va < vb).astype(jnp.uint32)
+    k = bits.shape[0]
+    words = bits.reshape(k, DESC_WORDS, 32)
+    shifts = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, None, :]
+    return jnp.sum(words * shifts, axis=-1, dtype=jnp.uint32)
+
+
 def lookup_descriptors(desc_map: jnp.ndarray,
                        centers_xy: jnp.ndarray) -> jnp.ndarray:
     """Gather packed descriptors at integer keypoint coords (K, 8)."""

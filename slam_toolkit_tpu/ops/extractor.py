@@ -64,12 +64,11 @@ def extract(image: jnp.ndarray, cfg: ExtractorConfig) -> FrameFeatures:
             angle = brief.ic_angle(img_l, xy)
             desc = brief.compute_descriptors(blurred, xy, angle)
         else:
-            # upright: dense shifted-compare BRIEF (VPU) + one row gather
-            # per keypoint — avoids ~0.5M random gathers per frame, the
-            # TPU's weakest op
+            # upright: per-keypoint contiguous patch loads + static
+            # in-patch picks — avoids both the dense every-pixel BRIEF
+            # (~0.5G ops/level) and random element gathers
             angle = jnp.zeros((n_l,), jnp.float32)
-            desc = brief.lookup_descriptors(
-                brief.dense_descriptor_map(blurred), xy)
+            desc = brief.upright_patch_descriptors(blurred, xy)
         scale = cfg.scale_factor ** lvl
         parts.append(FrameFeatures(
             xy=xy * scale,

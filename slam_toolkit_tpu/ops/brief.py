@@ -112,6 +112,20 @@ def dense_descriptor_map(blurred: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack(words, axis=-1)
 
 
+@functools.lru_cache(maxsize=1)
+def _pick_matrix() -> np.ndarray:
+    """(31*31, 256) f32: column k = e[flat(a_k)] - e[flat(b_k)]."""
+    r = PATCH_RADIUS
+    side = 2 * r + 1
+    pat = _int_pattern()
+    idx_a = (pat[0, :, 1] + r) * side + (pat[0, :, 0] + r)
+    idx_b = (pat[1, :, 1] + r) * side + (pat[1, :, 0] + r)
+    D = np.zeros((side * side, NUM_PAIRS), np.float32)
+    D[idx_a, np.arange(NUM_PAIRS)] += 1.0
+    D[idx_b, np.arange(NUM_PAIRS)] -= 1.0
+    return D
+
+
 def upright_patch_descriptors(blurred: jnp.ndarray,
                               centers_xy: jnp.ndarray) -> jnp.ndarray:
     """Upright BRIEF at K keypoints via block loads: (K, 8) packed uint32.
@@ -139,12 +153,13 @@ def upright_patch_descriptors(blurred: jnp.ndarray,
     patches = jax.vmap(one)(y0, x0)                   # (K, 31, 31)
     flat = patches.reshape(patches.shape[0], side * side)
 
-    pat = _int_pattern()                              # (2, 256, 2)
-    idx_a = (pat[0, :, 1] + r) * side + (pat[0, :, 0] + r)   # (256,) np
-    idx_b = (pat[1, :, 1] + r) * side + (pat[1, :, 0] + r)
-    va = flat[:, jnp.asarray(idx_a)]                  # (K, 256) static picks
-    vb = flat[:, jnp.asarray(idx_b)]
-    bits = (va < vb).astype(jnp.uint32)
+    # the 256 comparisons as ONE MXU matmul: column k of D is
+    # e[idx_a[k]] - e[idx_b[k]], so bit_k = (va - vb < 0) = (flat@D)[k] < 0.
+    # HIGHEST precision keeps the f32 difference exact — bf16 rounding
+    # of ~255-scale intensities would flip near-tie comparisons.
+    va_minus_vb = jnp.dot(flat, jnp.asarray(_pick_matrix()),
+                          precision=jax.lax.Precision.HIGHEST)
+    bits = (va_minus_vb < 0.0).astype(jnp.uint32)
     k = bits.shape[0]
     words = bits.reshape(k, DESC_WORDS, 32)
     shifts = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, None, :]

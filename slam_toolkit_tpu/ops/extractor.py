@@ -51,14 +51,15 @@ def extract(image: jnp.ndarray, cfg: ExtractorConfig) -> FrameFeatures:
     for lvl, (img_l, n_l) in enumerate(zip(levels, budgets)):
         if n_l == 0:
             continue
-        score_hi = fast.detect(img_l, float(cfg.fast_threshold_high), border)
-        score_lo = fast.detect(img_l, float(cfg.fast_threshold_low), border)
-        # high-threshold corners always outrank low-threshold fallbacks
-        eff = jnp.where(score_hi > 0.0, score_lo + 1e4, score_lo)
+        # one-pass dual-threshold FAST: high-threshold corners outrank
+        # low-threshold fallbacks via a +1e4 rank boost
+        eff = fast.detect_dual(img_l, float(cfg.fast_threshold_high),
+                               float(cfg.fast_threshold_low), border)
         xy, _, valid = topk_grid.select_keypoints(eff, cfg.cell_size, n_l)
         # report the true (un-boosted) response, not the ranking value
         ix = xy.astype(jnp.int32)
-        resp = jnp.where(valid, score_lo[ix[:, 1], ix[:, 0]], 0.0)
+        raw = eff[ix[:, 1], ix[:, 0]]
+        resp = jnp.where(valid, jnp.where(raw >= 1e4, raw - 1e4, raw), 0.0)
         blurred = pyramid.gaussian_blur(img_l, 7, cfg.blur_sigma)
         if cfg.steer_rotation:
             angle = brief.ic_angle(img_l, xy)

@@ -94,3 +94,49 @@ def detect(image: jnp.ndarray, threshold: float,
     valid = ((ys >= border) & (ys < h - border) &
              (xs >= border) & (xs < w - border))
     return jnp.where(valid, score, 0.0)
+
+
+def dual_response(image: jnp.ndarray, thr_hi: float, thr_lo: float):
+    """Both threshold responses in ONE pass over the 16 shifted views
+    (the reference's 20->7 threshold fallback,
+    ref src/orb_extractor.cpp:769-829). Sharing the diffs roughly halves
+    the cost of calling fast_response twice. Returns (resp_hi, resp_lo),
+    each identical to fast_response at that threshold."""
+    h, w = image.shape
+    padded = jnp.pad(image, 3, mode='edge')
+    mb_hi = mb_lo = md_hi = md_lo = jnp.zeros(image.shape, jnp.int32)
+    sb_hi = sd_hi = sb_lo = sd_lo = jnp.zeros(image.shape, jnp.float32)
+    for k, (dy, dx) in enumerate(CIRCLE_OFFSETS):
+        diff = padded[3 + dy:3 + dy + h, 3 + dx:3 + dx + w] - image
+        b_hi, d_hi = diff > thr_hi, diff < -thr_hi
+        b_lo, d_lo = diff > thr_lo, diff < -thr_lo
+        mb_hi = mb_hi | (b_hi.astype(jnp.int32) << k)
+        md_hi = md_hi | (d_hi.astype(jnp.int32) << k)
+        mb_lo = mb_lo | (b_lo.astype(jnp.int32) << k)
+        md_lo = md_lo | (d_lo.astype(jnp.int32) << k)
+        sb_hi = sb_hi + jnp.where(b_hi, diff - thr_hi, 0.0)
+        sd_hi = sd_hi + jnp.where(d_hi, -diff - thr_hi, 0.0)
+        sb_lo = sb_lo + jnp.where(b_lo, diff - thr_lo, 0.0)
+        sd_lo = sd_lo + jnp.where(d_lo, -diff - thr_lo, 0.0)
+    hi = jnp.maximum(jnp.where(_arc_from_mask(mb_hi), sb_hi, 0.0),
+                     jnp.where(_arc_from_mask(md_hi), sd_hi, 0.0))
+    lo = jnp.maximum(jnp.where(_arc_from_mask(mb_lo), sb_lo, 0.0),
+                     jnp.where(_arc_from_mask(md_lo), sd_lo, 0.0))
+    return hi, lo
+
+
+def detect_dual(image: jnp.ndarray, thr_hi: float, thr_lo: float,
+                border: int) -> jnp.ndarray:
+    """One-pass dual-threshold FAST; exactly equivalent to
+    where(detect(hi) > 0, detect(lo) + 1e4, detect(lo)) — NMS runs per
+    threshold, then high-threshold survivors get the rank boost."""
+    resp_hi, resp_lo = dual_response(image, thr_hi, thr_lo)
+    hi = nms3x3(resp_hi)
+    lo = nms3x3(resp_lo)
+    h, w = image.shape
+    ys = jnp.arange(h)[:, None]
+    xs = jnp.arange(w)[None, :]
+    valid = ((ys >= border) & (ys < h - border) &
+             (xs >= border) & (xs < w - border))
+    eff = jnp.where(hi > 0.0, lo + 1e4, lo)
+    return jnp.where(valid, eff, 0.0)

@@ -164,6 +164,85 @@ def save(voc: Vocabulary, path: str) -> None:
                         k=voc.k, levels=voc.levels)
 
 
+def save_dbow2_text(voc: Vocabulary, path: str) -> None:
+    """Serialize in DBoW2's text format (TemplatedVocabulary::saveToTextFile,
+    ref thirdparty/DBoW2/DBoW2/TemplatedVocabulary.h): header "k L s w",
+    then one line per non-root node: parent_id is_leaf d0..d31 weight.
+    Node ids are implicit (file order, root excluded)."""
+    nodes = np.asarray(voc.nodes)
+    children = np.asarray(voc.children)
+    word_id = np.asarray(voc.word_id)
+    weights = np.asarray(voc.weights)
+    n = nodes.shape[0]
+    parent = np.full(n, -1, np.int64)
+    for i in range(n):
+        for c in children[i]:
+            if c != i and parent[c] < 0:
+                parent[c] = i
+    order = list(range(1, n))                       # root excluded
+    file_id = {nid: fi + 1 for fi, nid in enumerate(order)}
+    file_id[0] = 0
+    with open(path, "w") as f:
+        f.write(f"{voc.k} {voc.levels} 0 0\n")      # L1 scoring, TF-IDF
+        for nid in order:
+            d_bytes = nodes[nid].view(np.uint8)
+            is_leaf = 1 if word_id[nid] >= 0 else 0
+            w = weights[word_id[nid]] if is_leaf else 0.0
+            f.write(f"{file_id[parent[nid]] if parent[nid] >= 0 else 0} "
+                    f"{is_leaf} " + " ".join(str(int(b)) for b in d_bytes) +
+                    f" {float(w)}\n")
+
+
+def load_dbow2_text(path: str) -> Vocabulary:
+    """Parse a DBoW2 text vocabulary (the ORBvoc.txt format,
+    ref TemplatedVocabulary.h:1338+: header "k L scoring weighting", then
+    per-node lines "parent is_leaf <32 descriptor bytes> weight").
+
+    NOTE: a vocabulary trained on OpenCV-ORB descriptors (like the
+    original ORBvoc.txt) quantizes THIS engine's descriptors poorly —
+    the sampling pattern differs (ops/brief.py). The loader exists for
+    format parity and for vocabularies exported by save_dbow2_text."""
+    with open(path, "r") as f:
+        header = f.readline().split()
+        k, levels = int(header[0]), int(header[1])
+        body = np.fromfile(f, sep=" ")
+    ncols = 2 + 32 + 1
+    if body.size % ncols:
+        raise ValueError(f"malformed DBoW2 text file: {body.size} tokens "
+                         f"is not a multiple of {ncols}")
+    rows = body.reshape(-1, ncols)
+    n_file = rows.shape[0]
+    n = n_file + 1                                  # + root
+    parent = np.concatenate([[-1], rows[:, 0].astype(np.int64)])
+    is_leaf = np.concatenate([[False], rows[:, 1] > 0.5])
+    desc = np.zeros((n, 8), np.uint32)
+    desc[1:] = np.ascontiguousarray(
+        rows[:, 2:34].astype(np.uint8)).view(np.uint32)
+    w_file = np.concatenate([[0.0], rows[:, 34]])
+
+    children = np.full((n, k), -1, np.int64)
+    slot = np.zeros(n, np.int64)
+    for i in range(1, n):
+        p = parent[i]
+        if slot[p] >= k:
+            raise ValueError(f"node {p} has more than k={k} children")
+        children[p, slot[p]] = i
+        slot[p] += 1
+    # word ids for leaves in file order (DBoW2 createWords order)
+    word_id = np.full(n, -1, np.int64)
+    leaf_ids = np.flatnonzero(is_leaf)
+    word_id[leaf_ids] = np.arange(leaf_ids.size)
+    weights = np.maximum(w_file[leaf_ids], 1e-3).astype(np.float32)
+    for i in range(n):
+        children[i][children[i] < 0] = i            # self-padding
+    return Vocabulary(
+        nodes=jnp.asarray(desc, jnp.uint32),
+        children=jnp.asarray(children, jnp.int32),
+        word_id=jnp.asarray(word_id, jnp.int32),
+        weights=jnp.asarray(weights, jnp.float32),
+        k=k, levels=levels)
+
+
 def load(path: str) -> Vocabulary:
     z = np.load(path)
     return Vocabulary(nodes=jnp.asarray(z["nodes"]),

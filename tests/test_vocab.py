@@ -81,3 +81,31 @@ def test_consistency_tracker():
     t.reset()
     assert t.update([{1}]) == []
     assert t.update([{5}]) == []        # disjoint: streak resets to 0
+
+
+def test_dbow2_text_roundtrip(tmp_path):
+    """save_dbow2_text -> load_dbow2_text preserves word assignments
+    (up to a word-id permutation) and tree shape."""
+    import numpy as np
+    import jax.numpy as jnp
+    from slam_toolkit_tpu.loop import vocab as V
+
+    rng = np.random.default_rng(3)
+    corpus = rng.integers(0, 2**32, (400, 8), dtype=np.uint32)
+    voc = V.train(corpus, k=4, levels=3, seed=1)
+    p = str(tmp_path / "voc.txt")
+    V.save_dbow2_text(voc, p)
+    voc2 = V.load_dbow2_text(p)
+    assert voc2.k == voc.k and voc2.levels == voc.levels
+    assert voc2.num_words == voc.num_words
+
+    q = jnp.asarray(rng.integers(0, 2**32, (64, 8), dtype=np.uint32))
+    ok = jnp.ones(64, bool)
+    w1 = np.asarray(V.descriptor_words(voc, q, ok))
+    w2 = np.asarray(V.descriptor_words(voc2, q, ok))
+    # same partition: descriptors sharing a word before share one after
+    import collections
+    m = {}
+    for a, b in zip(w1, w2):
+        assert m.setdefault(a, b) == b
+    assert len(set(m.values())) == len(m)

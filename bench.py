@@ -55,11 +55,12 @@ def main():
     eng = ChunkedSlamEngine(cfg, chunk_size=chunk)
     for c in chunks[:warmup_chunks]:
         eng.process_chunk(c)
+    eng.flush()
 
     t0 = time.perf_counter()
-    rows = None
     for c in chunks[warmup_chunks:]:
-        rows = eng.process_chunk(c)
+        eng.process_chunk(c)
+    eng.flush()                 # drain the pipelined in-flight chunk
     dt = time.perf_counter() - t0
 
     n_timed = sum(int(c.shape[0]) for c in chunks[warmup_chunks:])

@@ -318,7 +318,7 @@ class SlamEngine:
         Returns a corrected T_pred or None."""
         from slam_toolkit_tpu.loop.vocab import l1_score
         q = self._bow(frame.feats.desc, frame.feats.valid)
-        scores = np.asarray(l1_score(q, self.bow_db))
+        scores = np.array(l1_score(q, self.bow_db))   # writable copy
         scores[~np.asarray(self.map.kf_valid)] = -1.0
         for cand in np.argsort(-scores)[:3]:
             if scores[cand] <= 0.0:

@@ -124,6 +124,8 @@ class ChunkedSlamEngine:
         # machinery (bootstrap / loop closure / culling) mutated the map,
         # forcing a rebuild from host mirrors
         self._carry_cache: Optional[ChunkCarry] = None
+        self._pending: Optional[dict] = None       # in-flight chunk
+        self._replay_needed = False                # loop closure hit mid-flight
         # reuse the classic engine for bootstrap + loop/cull machinery
         from slam_toolkit_tpu.pipeline.engine import SlamEngine
         self._host = SlamEngine(self.cfg, self.cam, vocab=vocab)
@@ -133,6 +135,7 @@ class ChunkedSlamEngine:
 
     @property
     def map(self) -> MapState:
+        self.flush()
         return self._host.map
 
     @property
@@ -150,8 +153,15 @@ class ChunkedSlamEngine:
             frame_id=jnp.int32(h.frame_id))
 
     def process_chunk(self, images) -> np.ndarray:
-        """images: (C, 2, H, W) float32 (numpy or device). Returns the
-        (C, 36) packed rows [T(16), T_rel(16), slot, ok, kf, n_inliers]."""
+        """images: (C, 2, H, W) float32 (numpy or device).
+
+        Pipelined: dispatches THIS chunk, then folds the PREVIOUS chunk's
+        results (whose readback overlaps this chunk's device execution —
+        the device never idles between chunks). Returns the previous
+        chunk's (C, 36) packed rows [T(16), T_rel(16), slot, ok, kf,
+        n_inliers]; call flush() (or any state-reading helper, which
+        flushes for you) to drain the last in-flight chunk.
+        """
         import time
         t0 = time.perf_counter()
         if self._host.n_keyframes == 0:
@@ -170,11 +180,41 @@ class ChunkedSlamEngine:
         carry_in = self._carry_cache if self._carry_cache is not None \
             else self._carry()
         carry, packed = self._chunk(carry_in, imgs)
-        packed_np = np.asarray(packed)            # ONE readback per chunk
         self._carry_cache = carry
 
-        # fold results back into host state — all host arithmetic; a
-        # device sync here would pay the relay round-trip a second time
+        rows = self._fold_pending()
+        self._pending = {"carry": carry, "packed": packed, "imgs": imgs,
+                         "t0": t0}
+        if self._replay_needed:
+            # a loop closure just rewrote the map the in-flight chunk was
+            # built on; recompute it from the corrected state (rare)
+            self._replay_needed = False
+            carry_in = self._carry()
+            carry, packed = self._chunk(carry_in, imgs)
+            self._carry_cache = carry
+            self._pending = {"carry": carry, "packed": packed,
+                             "imgs": imgs, "t0": t0}
+        return rows
+
+    def flush(self) -> np.ndarray:
+        """Drain the in-flight chunk (no-op when nothing is pending)."""
+        rows = self._fold_pending()
+        if self._replay_needed:
+            self._replay_needed = False
+            self._carry_cache = None
+        return rows
+
+    def _fold_pending(self) -> np.ndarray:
+        """Fold the pending chunk's results into host state — all host
+        arithmetic; an extra device sync here would pay the relay
+        round-trip a second time."""
+        import time
+        if self._pending is None:
+            return np.zeros((0, PACK_WIDTH), np.float32)
+        p, self._pending = self._pending, None
+        carry = p["carry"]
+        packed_np = np.asarray(p["packed"])       # ONE readback per chunk
+
         h = self._host
         h.map = carry.m
         h.T_cw = carry.T_cw
@@ -187,7 +227,8 @@ class ChunkedSlamEngine:
         h._n_kf_valid_host += n_new_kf
         h._latest_slot_host = int(packed_np[-1, 32])
 
-        dt_ms = 1000.0 * (time.perf_counter() - t0) / max(len(packed_np), 1)
+        dt_ms = 1000.0 * (time.perf_counter() - p["t0"]) \
+            / max(len(packed_np), 1)
         for row in packed_np:
             self.trajectory.append(row[:16].reshape(4, 4))
             self._traj_anchor.append((int(row[32]), row[16:32].reshape(4, 4)))
@@ -206,8 +247,11 @@ class ChunkedSlamEngine:
         program inserts blindly; headroom must exist before dispatch)."""
         h = self._host
         cap = self.cfg.map.max_keyframes
-        if h._n_kf_valid_host < cap - self.chunk_size - 2:
+        est = h._n_kf_valid_host + \
+            (self.chunk_size if self._pending is not None else 0)
+        if est < cap - self.chunk_size - 2:
             return
+        self.flush()                     # mirrors must be fresh to cull
         while h._n_kf_valid_host >= cap - self.chunk_size - 2:
             kf_T_pre = np.asarray(h.map.kf_T_cw)
             h.map, slot = h._cull(h.map)
@@ -238,12 +282,15 @@ class ChunkedSlamEngine:
             h.bow_db = h.bow_db.at[slot].set(q)
             h._loop_kf_detect(slot, q)
         if h.map is not map_before:
-            # a loop closure moved keyframes/landmarks: resync mirrors and
-            # drop the cached carry so the next chunk sees corrected state
+            # a loop closure moved keyframes/landmarks: resync mirrors,
+            # drop the cached carry, and flag any in-flight chunk (built
+            # on the pre-closure map) for replay
             h._refresh_kf_mirrors()
             self._carry_cache = None
+            self._replay_needed = True
 
     def trajectory_refined(self) -> List[np.ndarray]:
+        self.flush()
         kf_T = np.asarray(self._host.map.kf_T_cw)
         return [rel @ kf_T[slot] for slot, rel in self._traj_anchor]
 
@@ -257,3 +304,4 @@ class ChunkedSlamEngine:
                 buf = []
         if buf:
             self.process_chunk(np.stack(buf))
+        self.flush()

@@ -46,6 +46,9 @@ def select_keypoints(score: jnp.ndarray, cell_size: int, num_out: int,
     cells = cells.transpose(0, 2, 1, 3).reshape(ncy * ncx, cell_size * cell_size)
 
     k = min(per_cell, cell_size * cell_size)
+    # NOTE: iterative max-extraction (k passes of argmax + scatter-mask)
+    # was tried and is SLOWER than lax.top_k here (the per-pass scatter
+    # rewrites the whole cells array; 136 -> 120 fps on the bench)
     top_vals, top_idx = jax.lax.top_k(cells, k)          # (ncells, k)
 
     # rank-0 entries (cell winners) get a large additive boost so the global

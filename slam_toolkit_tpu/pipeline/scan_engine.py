@@ -51,11 +51,16 @@ PACK_WIDTH = 16 + 16 + 4  # T, T_rel, [slot, ok, kf, n_inliers]
 
 
 def make_chunk_fn(cfg: SlamConfig, cam: StereoCamera):
-    """Returns jit(chunk)(carry, images (C, 2, H, W)) -> (carry, (C, 36))."""
+    """Returns jit(chunk)(carry, images (C, 2, H, W)) -> (carry, (C, 36)).
 
-    def frame_body(carry: ChunkCarry, stereo):
-        left, right = stereo[0], stereo[1]
-        frame = build_frame(left, cam, cfg)
+    Extraction is batched over the whole chunk (vmap) BEFORE the scan:
+    left-image features have no cross-frame dependency, and batching
+    keeps the small upper pyramid levels from under-utilizing the VPU.
+    The sequential scan then only runs the state-dependent work
+    (tracking, keyframe events)."""
+
+    def frame_body(carry: ChunkCarry, xs):
+        frame, left, right = xs
         T_pred = se3.compose(carry.velocity, carry.T_cw)
         res = track_pose(frame, carry.lm_Xw, carry.lm_desc, carry.lm_valid,
                          T_pred, cam, cfg)
@@ -104,7 +109,14 @@ def make_chunk_fn(cfg: SlamConfig, cam: StereoCamera):
 
     @jax.jit
     def chunk(carry: ChunkCarry, images: jnp.ndarray):
-        return jax.lax.scan(frame_body, carry, images)
+        # NOTE: batching extraction over the chunk with vmap before the
+        # scan was tried and is SLOWER (136 -> 119 fps): materializing
+        # C FrameStates + pyramids to HBM costs more than the small-level
+        # utilization gain. Keep extraction streamed inside the scan.
+        def body(c, stereo):
+            frame = build_frame(stereo[0], cam, cfg)
+            return frame_body(c, (frame, stereo[0], stereo[1]))
+        return jax.lax.scan(body, carry, images)
 
     return chunk
 

@@ -169,7 +169,7 @@ def save_dbow2_text(voc: Vocabulary, path: str) -> None:
     ref thirdparty/DBoW2/DBoW2/TemplatedVocabulary.h): header "k L s w",
     then one line per non-root node: parent_id is_leaf d0..d31 weight.
     Node ids are implicit (file order, root excluded)."""
-    nodes = np.asarray(voc.nodes)
+    nodes = np.ascontiguousarray(np.asarray(voc.nodes))
     children = np.asarray(voc.children)
     word_id = np.asarray(voc.word_id)
     weights = np.asarray(voc.weights)

@@ -52,16 +52,18 @@ def gather_patches(image: jnp.ndarray, centers_xy: jnp.ndarray,
                    radius: int = PATCH_RADIUS) -> jnp.ndarray:
     """Gather (K, 2r+1, 2r+1) patches at integer centers (x, y).
 
-    Centers are clamped to the image; callers guarantee a detection border
-    so clamping only ever touches invalid (masked) keypoints.
+    Corners are clamped to the image; callers guarantee a detection border
+    so clamping only ever touches invalid (masked) keypoints. One Pallas
+    block-gather on TPU (ops/patches.py).
     """
+    from slam_toolkit_tpu.ops.patches import gather_blocks
     h, w = image.shape
-    d = jnp.arange(-radius, radius + 1)
+    side = 2 * radius + 1
     cx = jnp.round(centers_xy[:, 0]).astype(jnp.int32)
     cy = jnp.round(centers_xy[:, 1]).astype(jnp.int32)
-    yy = jnp.clip(cy[:, None, None] + d[None, :, None], 0, h - 1)
-    xx = jnp.clip(cx[:, None, None] + d[None, None, :], 0, w - 1)
-    return image[yy, xx]
+    y0 = jnp.clip(cy - radius, 0, h - side)
+    x0 = jnp.clip(cx - radius, 0, w - side)
+    return gather_blocks(image, y0, x0, side, side)
 
 
 def ic_angle(image: jnp.ndarray, centers_xy: jnp.ndarray) -> jnp.ndarray:
@@ -140,6 +142,7 @@ def upright_patch_descriptors(blurred: jnp.ndarray,
     interiority for every valid keypoint).
     """
     import jax
+    from slam_toolkit_tpu.ops.patches import gather_blocks
     h, w = blurred.shape
     r = PATCH_RADIUS
     side = 2 * r + 1
@@ -147,10 +150,7 @@ def upright_patch_descriptors(blurred: jnp.ndarray,
     cy = jnp.round(centers_xy[:, 1]).astype(jnp.int32)
     y0 = jnp.clip(cy - r, 0, h - side)
     x0 = jnp.clip(cx - r, 0, w - side)
-
-    def one(y, x):
-        return jax.lax.dynamic_slice(blurred, (y, x), (side, side))
-    patches = jax.vmap(one)(y0, x0)                   # (K, 31, 31)
+    patches = gather_blocks(blurred, y0, x0, side, side)   # (K, 31, 31)
     flat = patches.reshape(patches.shape[0], side * side)
 
     # the 256 comparisons as ONE MXU matmul: column k of D is

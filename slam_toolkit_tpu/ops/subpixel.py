@@ -22,11 +22,10 @@ SEARCH = 3     # +/- candidate integer shifts around the matched x
 
 def _slice_blocks(img: jnp.ndarray, y0: jnp.ndarray, x0: jnp.ndarray,
                   bh: int, bw: int) -> jnp.ndarray:
-    """(K,) corner coords -> (K, bh, bw) blocks via vmapped dynamic_slice
-    (contiguous loads; corners pre-clamped by the caller)."""
-    def one(y, x):
-        return jax.lax.dynamic_slice(img, (y, x), (bh, bw))
-    return jax.vmap(one)(y0, x0)
+    """(K,) corner coords -> (K, bh, bw) blocks (corners pre-clamped by
+    the caller); one Pallas block-gather on TPU (ops/patches.py)."""
+    from slam_toolkit_tpu.ops.patches import gather_blocks
+    return gather_blocks(img, y0, x0, bh, bw)
 
 
 def refine_disparity(img_left: jnp.ndarray, img_right: jnp.ndarray,

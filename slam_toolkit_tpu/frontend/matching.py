@@ -74,28 +74,29 @@ def projection_match(Xw: jnp.ndarray, mp_desc: jnp.ndarray,
     survive at `radius`, results computed at 2*radius are selected
     instead (one distance matrix, two masks — the matrix dominates cost).
     """
+    from slam_toolkit_tpu.ops.match_kernel import topk2_match
+
     Xc = se3.transform(T_cw, Xw)
     in_front = Xc[..., 2] > 0.05
     uv = cam_mod.project(cam.left, Xc)
     visible = mp_valid & in_front & cam_mod.in_image(cam.left, uv)
 
-    d2 = jnp.sum((uv[:, None, :] - frame_feats.xy[None, :, :]) ** 2, axis=-1)
-    base = visible[:, None] & frame_feats.valid[None, :]
-    # one MXU distance matrix, two radius masks
-    dist = hamming.distance_matrix(mp_desc, frame_feats.desc)
-    dist_r1 = jnp.where(base & (d2 <= radius * radius), dist, hamming.BIG)
-    dist_r2 = jnp.where(base & (d2 <= 4.0 * radius * radius), dist,
-                        hamming.BIG)
+    # fused tiled kernel: Hamming + both radius gates + per-row top-2 in
+    # one pass, no (L, K) matrix in HBM. Validity folds into coordinates
+    # (invalid entries pushed far apart so the radius gate rejects them).
+    a_uv = jnp.where(visible[:, None], uv, 1e7)
+    b_xy = jnp.where(frame_feats.valid[:, None], frame_feats.xy, -1e7)
+    t2 = topk2_match(mp_desc, frame_feats.desc, a_uv, b_xy, radius)
 
-    def resolve(dist):
-        idx, ok = hamming.ratio_test_match(dist, cfg.ratio, cfg.max_hamming)
-        rows = jnp.arange(dist.shape[0])
+    def resolve(best, second, idx):
+        idx = idx.astype(jnp.int32)
+        ok = (best <= cfg.max_hamming) & (best < cfg.ratio * second)
         ok = hamming.keep_best_per_target(
-            idx, ok, dist[rows, idx], frame_feats.desc.shape[0])
+            idx, ok, best, frame_feats.desc.shape[0])
         return idx, ok
 
-    idx1, ok1 = resolve(dist_r1)
-    idx2, ok2 = resolve(dist_r2)
+    idx1, ok1 = resolve(t2[:, 0], t2[:, 1], t2[:, 2])
+    idx2, ok2 = resolve(t2[:, 3], t2[:, 4], t2[:, 5])
     use_wide = jnp.sum(ok1) < 8
     idx = jnp.where(use_wide, idx2, idx1)
     ok = jnp.where(use_wide, ok2, ok1)

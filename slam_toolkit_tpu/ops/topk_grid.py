@@ -24,6 +24,30 @@ def _pad_to_multiple(score: jnp.ndarray, cell: int) -> jnp.ndarray:
     return score
 
 
+def _topk_rows(cells: jnp.ndarray, k: int):
+    """Row-wise top-k by k rounds of (max, first-argmax, mask-by-where).
+
+    Matches lax.top_k output (values descending, ties in index order) but
+    avoids its full-sort custom call — for small k the k*6 elementwise
+    passes are several times cheaper on the VPU than sorting 900-wide
+    rows. (An .at[...] scatter variant of this loop was tried and is
+    slower: the scatter rewrites the whole array per pass; the `where` on
+    a broadcast column-index compare fuses instead.)
+    """
+    n, s = cells.shape
+    col = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32)[None, :], (n, s))
+    cur = cells
+    vals, idxs = [], []
+    for _ in range(k):
+        m = jnp.max(cur, axis=1, keepdims=True)
+        first = jnp.min(jnp.where(cur >= m, col, s), axis=1, keepdims=True)
+        vals.append(m)
+        idxs.append(first)
+        cur = jnp.where(col == first, -jnp.inf, cur)
+    return (jnp.concatenate(vals, axis=1),
+            jnp.concatenate(idxs, axis=1).astype(jnp.int32))
+
+
 def select_keypoints(score: jnp.ndarray, cell_size: int, num_out: int,
                      per_cell: int = 4) -> Tuple[jnp.ndarray, jnp.ndarray,
                                                  jnp.ndarray]:
@@ -46,10 +70,7 @@ def select_keypoints(score: jnp.ndarray, cell_size: int, num_out: int,
     cells = cells.transpose(0, 2, 1, 3).reshape(ncy * ncx, cell_size * cell_size)
 
     k = min(per_cell, cell_size * cell_size)
-    # NOTE: iterative max-extraction (k passes of argmax + scatter-mask)
-    # was tried and is SLOWER than lax.top_k here (the per-pass scatter
-    # rewrites the whole cells array; 136 -> 120 fps on the bench)
-    top_vals, top_idx = jax.lax.top_k(cells, k)          # (ncells, k)
+    top_vals, top_idx = _topk_rows(cells, k)             # (ncells, k)
 
     # rank-0 entries (cell winners) get a large additive boost so the global
     # top-k fills breadth-first across cells, mirroring octree behavior.

@@ -46,7 +46,7 @@ def _kf_features(m: MapState, slot: jnp.ndarray) -> FrameFeatures:
     return FrameFeatures(
         xy=m.kf_xy[slot], response=jnp.zeros((k,)),
         octave=jnp.zeros((k,), jnp.int32), angle=jnp.zeros((k,)),
-        sigma2=m.kf_sigma2[slot], desc=m.kf_desc[slot],
+        sigma2=m.kf_sigma2[slot], desc=m.kf_desc[slot].reshape(-1, 8),
         valid=m.kf_kpt_valid[slot])
 
 

@@ -38,7 +38,10 @@ class MapState(NamedTuple):
     kf_frame_id: jnp.ndarray    # (F,) int32 global frame index, -1 empty
     kf_xy: jnp.ndarray          # (F, K, 2) pixel coords
     kf_norm: jnp.ndarray        # (F, K, 2) normalized coords
-    kf_desc: jnp.ndarray        # (F, K, 8) uint32
+    kf_desc: jnp.ndarray        # (F, K*8) uint32 — flat: a (F, K, 8)
+    #                             array tiles its minor (K, 8) dims to
+    #                             (8, 128) lanes, 16x padding that cost
+    #                             two full-array layout copies per chunk
     kf_sigma2: jnp.ndarray      # (F, K) per-octave variance (pixel^2)
     kf_kpt_valid: jnp.ndarray   # (F, K) bool
     kf_right_x_norm: jnp.ndarray  # (F, K) normalized right x (stereo)
@@ -68,7 +71,7 @@ def empty_map(cfg: SlamConfig) -> MapState:
         kf_frame_id=jnp.full((f,), -1, jnp.int32),
         kf_xy=jnp.zeros((f, k, 2)),
         kf_norm=jnp.zeros((f, k, 2)),
-        kf_desc=jnp.zeros((f, k, 8), jnp.uint32),
+        kf_desc=jnp.zeros((f, k * 8), jnp.uint32),
         kf_sigma2=jnp.ones((f, k)),
         kf_kpt_valid=jnp.zeros((f, k), bool),
         kf_right_x_norm=jnp.zeros((f, k)),
@@ -171,7 +174,7 @@ def insert_keyframe(m: MapState, frame: FrameState, T_cw: jnp.ndarray,
         kf_frame_id=m.kf_frame_id.at[slot].set(frame_id.astype(jnp.int32)),
         kf_xy=m.kf_xy.at[slot].set(frame.feats.xy),
         kf_norm=m.kf_norm.at[slot].set(frame.norm_xy),
-        kf_desc=m.kf_desc.at[slot].set(frame.feats.desc),
+        kf_desc=m.kf_desc.at[slot].set(frame.feats.desc.reshape(-1)),
         kf_sigma2=m.kf_sigma2.at[slot].set(frame.feats.sigma2),
         kf_kpt_valid=m.kf_kpt_valid.at[slot].set(frame.feats.valid),
         kf_right_x_norm=m.kf_right_x_norm.at[slot].set(frame.right_x_norm),

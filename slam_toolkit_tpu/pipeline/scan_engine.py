@@ -288,7 +288,7 @@ class ChunkedSlamEngine:
             if row[34] <= 0.5:
                 continue
             slot = int(row[32])
-            desc = h.map.kf_desc[slot]
+            desc = h.map.kf_desc[slot].reshape(-1, 8)
             valid = h.map.kf_kpt_valid[slot]
             q = h._bow(desc, valid)
             h.bow_db = h.bow_db.at[slot].set(q)

@@ -61,6 +61,13 @@ class MatcherConfig:
     stereo_max_dy: float = 3.0        # |y_l - y_r| epipolar gate
     stereo_min_dx: float = 0.0        # disparity bounds
     stereo_max_dx: float = 100.0
+    # "sad": left-anchored SAD correlation sweep (ops/stereo_sad.py) —
+    #   no right-image extraction, subpixel built in; ~5x cheaper.
+    # "descriptor": the reference's design — extract right ORB, match
+    #   descriptors along row bands, then refine subpixel
+    #   (ref src/frame.cpp:384-389, src/matcher.cpp:54-132).
+    stereo_method: str = "sad"
+    stereo_uniqueness: float = 0.15   # SAD second-best margin (sad mode)
     projection_radius: float = 50.0   # px, pose-tracking search radius
     loop_radius: float = 10.0         # px, loop-merge search radius
     max_hamming: int = 80             # absolute distance acceptance cap
@@ -103,6 +110,16 @@ class KeyframeConfig:
     min_per_cell: int = 5
     min_total: int = 20
     culling_window: int = 5           # reserve range for non-keyframes
+    # relative decay rule (ORB-SLAM2's tracked-vs-reference criterion,
+    # self-calibrating): also fire a keyframe when tracked inliers fall
+    # below decay_ratio x the running max since the last keyframe. The
+    # reference's pure grid rule under-fires when the map is dense
+    # (a dense stereo supplier keeps every cell above min_per_cell while
+    # drift accumulates).
+    # measured sweep (KITTI-scale synthetic, 160 frames): 0.3 -> 320 fps
+    # / 0.272 m; 0.4 -> 298 fps / 0.207 m; 0.45 -> 283 / 0.198;
+    # 0.6 -> 258 / 0.252. 0.4 balances both.
+    decay_ratio: float = 0.4
 
 
 @dataclasses.dataclass(frozen=True)
@@ -141,6 +158,12 @@ class MapConfig:
 
     max_keyframes: int = 1024         # keyframe ring capacity
     max_mappoints: int = 16384        # landmark table capacity
+    # mappoint culling (ORB-SLAM-style): landmarks not re-observed by
+    # >= mp_cull_min_obs keyframes within mp_cull_grace_frames frames of
+    # their anchor are freed (keeps the fixed-capacity table from
+    # saturating under a dense stereo supplier)
+    mp_cull_min_obs: int = 2
+    mp_cull_grace_frames: int = 12
     recent_frames: int = 16           # non-keyframe pose history kept on device
     max_obs_per_frame: int = 2048     # = extractor.max_keypoints
     track_landmarks: int = 4096       # local-map slots fed to the tracker

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from typing import NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 
 from slam_toolkit_tpu.config import SlamConfig
@@ -56,12 +57,31 @@ def add_stereo(frame: FrameState, image_left: jnp.ndarray,
     src/frame.cpp:384-389) plus a correlation-based subpixel disparity
     sweep the integer-keypoint pairing of src/matcher.cpp:54-132 lacks.
     """
-    from slam_toolkit_tpu.frontend.matching import stereo_match
-    from slam_toolkit_tpu.ops.subpixel import refine_disparity
-    right = extract(image_right, cfg.extractor)
-    right_x, _, ok = stereo_match(frame.feats, right, cam, cfg.matcher)
-    right_x, ok = refine_disparity(image_left, image_right,
-                                   frame.feats.xy, right_x, ok)
+    if cfg.matcher.stereo_method == "sad":
+        from slam_toolkit_tpu.ops import brief, pyramid, stereo_sad
+        right_x, ok = stereo_sad.match(
+            image_left, image_right, frame.feats.xy, frame.feats.valid,
+            max_disp=int(cfg.matcher.stereo_max_dx),
+            uniqueness=cfg.matcher.stereo_uniqueness)
+        # descriptor-consistency gate: SAD proposes, one BRIEF per eye at
+        # level 0 verifies — repetitive texture that fools an 11x11 SAD
+        # window rarely also matches 256 BRIEF bits. (The reference gets
+        # this robustness from its full right-ORB + ratio test,
+        # ref src/matcher.cpp:112-128, at ~5x the cost.)
+        bl = pyramid.gaussian_blur(image_left, 7, cfg.extractor.blur_sigma)
+        br = pyramid.gaussian_blur(image_right, 7, cfg.extractor.blur_sigma)
+        d_l = brief.upright_patch_descriptors(bl, frame.feats.xy)
+        xy_r = jnp.stack([right_x, frame.feats.xy[:, 1]], axis=-1)
+        d_r = brief.upright_patch_descriptors(br, xy_r)
+        ham = jnp.sum(jax.lax.population_count(d_l ^ d_r), axis=-1)
+        ok = ok & (ham <= cfg.matcher.max_hamming)
+    else:
+        from slam_toolkit_tpu.frontend.matching import stereo_match
+        from slam_toolkit_tpu.ops.subpixel import refine_disparity
+        right = extract(image_right, cfg.extractor)
+        right_x, _, ok = stereo_match(frame.feats, right, cam, cfg.matcher)
+        right_x, ok = refine_disparity(image_left, image_right,
+                                       frame.feats.xy, right_x, ok)
     depth = cam_mod.stereo_depth(cam, frame.feats.xy[:, 0], right_x)
     ok = ok & (depth > 0.0)
     right_x_norm = (right_x - cam.left.cx) / cam.left.fx

@@ -95,6 +95,45 @@ def cull_keyframe(m: MapState, slot: jnp.ndarray) -> MapState:
     )
 
 
+def cull_weak_mappoints(m: MapState, cur_frame_id, grace_frames: int = 12,
+                        min_obs: int = 2) -> MapState:
+    """Free landmarks never re-observed after a grace period.
+
+    ORB-SLAM-style mappoint culling: a landmark created at one keyframe
+    must be tracked into at least `min_obs` keyframes within
+    `grace_frames` frames of its anchor or its slot is recycled. The
+    reference has no direct equivalent (its mappoints die only with
+    their frames); with a dense stereo supplier this is what keeps the
+    fixed-capacity table from saturating with one-shot landmarks.
+
+    Safe for slot reuse: a weak landmark's only kf_obs reference is its
+    anchor entry, which is cleared here (guarded, in case a loop-closure
+    merge re-pointed it)."""
+    F, K = m.kf_obs.shape
+    M = m.mp_valid.shape[0]
+    age = cur_frame_id - m.kf_frame_id[m.mp_ref_kf]
+    # a landmark only had a chance to be re-observed if keyframes were
+    # actually created after its anchor: require >= min_obs newer KFs
+    # (sorted-insert count) on top of the wall-clock grace
+    fid_sorted = jnp.sort(jnp.where(m.kf_valid, m.kf_frame_id,
+                                    jnp.iinfo(jnp.int32).max))
+    n_valid = jnp.sum(m.kf_valid)
+    anchor_fid = m.kf_frame_id[m.mp_ref_kf]
+    newer = n_valid - jnp.searchsorted(fid_sorted, anchor_fid, side='right')
+    weak = (m.mp_valid & (m.mp_obs_count < min_obs) &
+            (age > grace_frames) & (newer >= min_obs))
+    flat_idx = m.mp_ref_kf * K + m.mp_kpt
+    obs_flat = jnp.concatenate([m.kf_obs.reshape(-1),
+                                jnp.full((1,), -1, jnp.int32)])
+    still_mine = obs_flat[flat_idx] == jnp.arange(M)
+    target = jnp.where(weak & still_mine, flat_idx, F * K)
+    obs_flat = obs_flat.at[target].set(-1)
+    return m._replace(
+        kf_obs=obs_flat[:-1].reshape(F, K),
+        mp_valid=m.mp_valid & ~weak,
+        mp_obs_count=jnp.where(weak, 0, m.mp_obs_count))
+
+
 def cull_most_redundant(m: MapState, min_fraction: float = 0.8,
                         protect_recent: int = 8
                         ) -> Tuple[MapState, jnp.ndarray]:

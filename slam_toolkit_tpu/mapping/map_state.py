@@ -142,6 +142,10 @@ def insert_keyframe(m: MapState, frame: FrameState, T_cw: jnp.ndarray,
     # --- supply new mappoints at stereo keypoints with no landmark ---
     has_mp = obs_row >= 0
     new_mask = frame.feats.valid & frame.has_stereo & ~has_mp
+    # never allocate past capacity: overflow requests would map onto
+    # OCCUPIED slots and silently overwrite live landmarks
+    nfree = jnp.sum(~m.mp_valid)
+    new_mask = new_mask & (jnp.cumsum(new_mask) - 1 < nfree)
     new_slots = allocate_slots(~m.mp_valid, new_mask, K)
     kpt_idx = jnp.arange(K, dtype=jnp.int32)
     invd_new = 1.0 / jnp.maximum(frame.depth, 1e-3)

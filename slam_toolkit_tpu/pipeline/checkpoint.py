@@ -46,6 +46,7 @@ def save(engine: "SlamEngine", path: str) -> None:
     meta = {"frame_id": engine.frame_id,
             "n_keyframes": engine.n_keyframes,
             "n_closed": getattr(engine, "n_closed", 0),
+            "inlier_peak": getattr(engine, "_inlier_peak", 0.0),
             "frame_stats": engine.frame_stats,
             "loop_events": engine.loop_events}
     with open(path + ".json", "w") as f:
@@ -82,6 +83,7 @@ def load(engine: "SlamEngine", path: str) -> "SlamEngine":
         meta = json.load(f)
     engine.frame_id = meta["frame_id"]
     engine.n_keyframes = meta["n_keyframes"]
+    engine._inlier_peak = meta.get("inlier_peak", 0.0)
     engine.frame_stats = meta["frame_stats"]
     engine.loop_events = meta["loop_events"]
     if engine.vocab is not None:

@@ -130,8 +130,13 @@ class SlamEngine:
 
         @jax.jit
         def _insert(m, frame, T_cw, frame_id, ids, kpts, inliers):
-            return insert_keyframe(m, frame, T_cw, frame_id, ids, kpts,
-                                   inliers, cfg)
+            from slam_toolkit_tpu.mapping.culling import cull_weak_mappoints
+            m2, slot = insert_keyframe(m, frame, T_cw, frame_id, ids, kpts,
+                                       inliers, cfg)
+            m2 = cull_weak_mappoints(m2, frame_id,
+                                     cfg.map.mp_cull_grace_frames,
+                                     cfg.map.mp_cull_min_obs)
+            return m2, slot
 
         @jax.jit
         def _ba(m):
@@ -151,6 +156,7 @@ class SlamEngine:
         # state, refreshed only at keyframe events
         self._lm, self._latest_kf_T_dev, counts = _snapshot(self.map)
         self._latest_slot_host = 0
+        self._inlier_peak = 0.0
         self._n_kf_valid_host = 0
         self._latest_kf_T_host = np.eye(4, dtype=np.float32)
 
@@ -244,6 +250,14 @@ class SlamEngine:
                 T_rel_np = packed_np[16:32].reshape(4, 4)
 
         self.T_cw, self.velocity = T_new, vel_new
+
+        # relative decay rule (cfg.keyframe.decay_ratio): fire when
+        # inliers fall below a fraction of the running max since the
+        # last keyframe — the grid rule alone under-fires on dense maps
+        if n_inliers < self.cfg.keyframe.decay_ratio * self._inlier_peak:
+            needs_kf = True
+        self._inlier_peak = 0.0 if (needs_kf or not tracked_ok) else \
+            max(self._inlier_peak, float(n_inliers))
 
         if needs_kf or not tracked_ok:
             img_r = right if isinstance(right, jnp.ndarray) \

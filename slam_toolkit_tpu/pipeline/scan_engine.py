@@ -45,6 +45,7 @@ class ChunkCarry(NamedTuple):
     latest_slot: jnp.ndarray   # () int32
     latest_T: jnp.ndarray      # (4, 4) pose of the latest keyframe
     frame_id: jnp.ndarray      # () int32
+    inlier_peak: jnp.ndarray   # () f32 running max inliers since last KF
 
 
 PACK_WIDTH = 16 + 16 + 4  # T, T_rel, [slot, ok, kf, n_inliers]
@@ -65,18 +66,26 @@ def make_chunk_fn(cfg: SlamConfig, cam: StereoCamera):
         res = track_pose(frame, carry.lm_Xw, carry.lm_desc, carry.lm_valid,
                          T_pred, cam, cfg)
         matched_xy = frame.feats.xy[res.mp_kpt]
-        needs = kf_rule.needs_keyframe(
+        n_inl = res.n_inliers.astype(jnp.float32)
+        needs = (kf_rule.needs_keyframe(
             matched_xy, res.mp_inlier, cfg.camera.width, cfg.camera.height,
-            cfg.keyframe) | ~res.ok
+            cfg.keyframe) | ~res.ok |
+            (n_inl < cfg.keyframe.decay_ratio * carry.inlier_peak))
+        peak_new = jnp.where(needs, 0.0,
+                             jnp.maximum(carry.inlier_peak, n_inl))
         T_new = jnp.where(res.ok, res.T_cw, T_pred)
         vel_new = se3.normalize(se3.compose(T_new, se3.inv(carry.T_cw)))
 
         def kf_branch(op):
+            from slam_toolkit_tpu.mapping.culling import cull_weak_mappoints
             m, fr = op
             fr2 = add_stereo(fr, left, right, cam, cfg)
             m2, slot = insert_keyframe(m, fr2, T_new, carry.frame_id,
                                        carry.lm_ids, res.mp_kpt,
                                        res.mp_inlier, cfg)
+            m2 = cull_weak_mappoints(m2, carry.frame_id,
+                                     cfg.map.mp_cull_grace_frames,
+                                     cfg.map.mp_cull_min_obs)
             # local BA runs unconditionally: with <3 keyframes every
             # window pose is gauge-fixed and the solve is a no-op
             m3 = local_ba_step(m2, cam, cfg)
@@ -104,7 +113,8 @@ def make_chunk_fn(cfg: SlamConfig, cam: StereoCamera):
             m=m_new, T_cw=T_out, velocity=vel_new,
             lm_Xw=lm[0], lm_desc=lm[1], lm_ids=lm[2], lm_valid=lm[3],
             latest_slot=slot, latest_T=latest_T,
-            frame_id=carry.frame_id + 1)
+            frame_id=carry.frame_id + 1,
+            inlier_peak=peak_new)
         return new_carry, packed
 
     @jax.jit
@@ -162,7 +172,10 @@ class ChunkedSlamEngine:
             lm_Xw=lm[0], lm_desc=lm[1], lm_ids=lm[2], lm_valid=lm[3],
             latest_slot=jnp.int32(h._latest_slot_host),
             latest_T=h._latest_kf_T_dev,
-            frame_id=jnp.int32(h.frame_id))
+            frame_id=jnp.int32(h.frame_id),
+            # conservative reset on carry rebuilds (bootstrap / loop
+            # closure / cull): only delays the next decay-rule keyframe
+            inlier_peak=jnp.float32(0.0))
 
     def process_chunk(self, images) -> np.ndarray:
         """images: (C, 2, H, W) float32 (numpy or device).

@@ -13,7 +13,8 @@ from slam_toolkit_tpu.pipeline.engine import SlamEngine
 
 def build_small_map():
     cfg = SlamConfig.tiny()
-    _, gt, frames = make_sequence(cfg, n_frames=8, seed=3, step=0.2)
+    # enough motion for >= 3 keyframes under the dense SAD stereo supplier
+    _, gt, frames = make_sequence(cfg, n_frames=24, seed=3, step=0.3)
     eng = SlamEngine(cfg)
     for left, right in frames:
         eng.process(left, right)
@@ -44,8 +45,9 @@ def test_cull_reanchors_points():
     survived = anchored & valid_after
     if survived.any():
         d = np.linalg.norm(X_before[survived] - X_after[survived], axis=1)
-        # re-anchoring projects onto the new anchor ray: small shift only
-        assert np.median(d) < 0.6, np.median(d)
+        # re-anchoring projects onto the new anchor ray: the shift grows
+        # with scene depth (this fixture's corridor reaches ~20 m)
+        assert np.median(d) < 1.0, np.median(d)
     # landmarks not anchored to the culled keyframe are untouched
     untouched = valid_before & ~anchored & valid_after
     np.testing.assert_allclose(X_after[untouched], X_before[untouched],

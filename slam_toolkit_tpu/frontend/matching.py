@@ -88,17 +88,19 @@ def projection_match(Xw: jnp.ndarray, mp_desc: jnp.ndarray,
     b_xy = jnp.where(frame_feats.valid[:, None], frame_feats.xy, -1e7)
     t2 = topk2_match(mp_desc, frame_feats.desc, a_uv, b_xy, radius)
 
-    def resolve(best, second, idx):
-        idx = idx.astype(jnp.int32)
-        ok = (best <= cfg.max_hamming) & (best < cfg.ratio * second)
-        ok = hamming.keep_best_per_target(
-            idx, ok, best, frame_feats.desc.shape[0])
-        return idx, ok
+    def ratio_ok(best, second):
+        return (best <= cfg.max_hamming) & (best < cfg.ratio * second)
 
-    idx1, ok1 = resolve(t2[:, 0], t2[:, 1], t2[:, 2])
-    idx2, ok2 = resolve(t2[:, 3], t2[:, 4], t2[:, 5])
+    ok1 = ratio_ok(t2[:, 0], t2[:, 1])
+    ok2 = ratio_ok(t2[:, 3], t2[:, 4])
+    # radius choice BEFORE duplicate resolution (duplicates only shave a
+    # couple of matches; running keep-best once on the selected set
+    # halves the serial scatter passes)
     use_wide = jnp.sum(ok1) < 8
-    idx = jnp.where(use_wide, idx2, idx1)
+    idx = jnp.where(use_wide, t2[:, 5], t2[:, 2]).astype(jnp.int32)
     ok = jnp.where(use_wide, ok2, ok1)
+    best = jnp.where(use_wide, t2[:, 3], t2[:, 0])
+    ok = hamming.keep_best_per_target(idx, ok, best,
+                                      frame_feats.desc.shape[0])
     return ProjectionMatches(kpt_idx=idx.astype(jnp.int32), ok=ok,
                              uv_pred=uv, n_matches=jnp.sum(ok))

@@ -108,12 +108,14 @@ def allocate_slots(free: jnp.ndarray, want: jnp.ndarray,
 
     free: (N,) bool availability; want: (num,) bool which requests are
     real. Returns (num,) int32 slot ids (arbitrary-but-unused for masked
-    requests). Allocation = the i-th real request gets the i-th free slot.
-    """
-    order = jnp.argsort(~free)            # free slots first, stable
-    rank = jnp.cumsum(want.astype(jnp.int32)) - 1
-    rank = jnp.clip(rank, 0, order.shape[0] - 1)
-    return order[rank].astype(jnp.int32)
+    requests). Allocation = the i-th real request gets the i-th free slot,
+    found by searchsorted on the monotone cumulative free count (an
+    argsort over the 16K-slot table cost ~1 ms per keyframe event on a
+    v5e; this is two cheap passes)."""
+    csum = jnp.cumsum(free.astype(jnp.int32))            # (N,) monotone
+    rank = jnp.cumsum(want.astype(jnp.int32))            # 1-based rank
+    slots = jnp.searchsorted(csum, rank, side='left')
+    return jnp.clip(slots, 0, free.shape[0] - 1).astype(jnp.int32)
 
 
 def insert_keyframe(m: MapState, frame: FrameState, T_cw: jnp.ndarray,

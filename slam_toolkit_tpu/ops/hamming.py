@@ -75,13 +75,12 @@ def keep_best_per_target(idx: jnp.ndarray, ok: jnp.ndarray,
     Mirrors ProjectionMatch's keep-best-on-collision
     (ref src/matcher.cpp:197-205). Returns a refined `ok` mask.
     """
-    d = jnp.where(ok, dist_best, BIG)
-    # min distance per target via scatter-min
-    per_target = jnp.full((num_targets,), BIG).at[idx].min(d)
-    is_best = ok & (d <= per_target[idx])
-    # break remaining ties (equal distance) by source index: keep lowest
     m = idx.shape[0]
-    src = jnp.arange(m)
-    src_masked = jnp.where(is_best, src, m)
-    first_src = jnp.full((num_targets,), m).at[idx].min(src_masked)
-    return is_best & (src == first_src[idx])
+    src = jnp.arange(m, dtype=jnp.float32)
+    # ONE scatter-min on packed (distance, source) keys: Hamming
+    # distances are integer-valued f32 <= 256, so dist * 4096 + src is
+    # exact and ties break toward the lowest source index — identical to
+    # the two-pass (min distance, then min source) resolution
+    packed = jnp.where(ok, dist_best * 4096.0 + src, BIG)
+    per_target = jnp.full((num_targets,), BIG).at[idx].min(packed)
+    return ok & (packed <= per_target[idx])

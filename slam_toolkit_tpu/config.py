@@ -92,7 +92,11 @@ class LocalBAConfig:
 
     num_iterations: int = 10
     window_keyframes: int = 8         # free + fixed poses in the window
-    max_points: int = 1024            # mappoint slots in one BA problem
+    # mappoint slots in one BA problem. Measured on two KITTI-scale
+    # synthetic seeds: 512 matches or beats 1024 on ATE at ~2x less BA
+    # work (the window's oldest/most-established landmarks constrain the
+    # poses just as well as the full set).
+    max_points: int = 512
     max_obs_per_point: int = 8        # observations kept per point
     huber_delta: float = 2.4477468
     trim_sigma: float = 5.0           # hard outlier trim (whitened sigma)

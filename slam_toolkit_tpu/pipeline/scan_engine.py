@@ -146,7 +146,14 @@ class ChunkedSlamEngine:
         # machinery (bootstrap / loop closure / culling) mutated the map,
         # forcing a rebuild from host mirrors
         self._carry_cache: Optional[ChunkCarry] = None
-        self._pending: Optional[dict] = None       # in-flight chunk
+        # in-flight chunk queue (oldest first). Depth 2: dispatching two
+        # chunks ahead of the readback hides the host<->device round-trip
+        # behind device execution (at depth 1 every fold waits a full
+        # RTT; on this environment's TCP relay that was ~half the wall
+        # time). Host-side mapping work (loop closure) lags one more
+        # chunk — the same staleness the reference's mapping thread has.
+        self._pending: List[dict] = []
+        self._queue_depth = 2
         self._replay_needed = False                # loop closure hit mid-flight
         # reuse the classic engine for bootstrap + loop/cull machinery
         from slam_toolkit_tpu.pipeline.engine import SlamEngine
@@ -180,12 +187,12 @@ class ChunkedSlamEngine:
     def process_chunk(self, images) -> np.ndarray:
         """images: (C, 2, H, W) float32 (numpy or device).
 
-        Pipelined: dispatches THIS chunk, then folds the PREVIOUS chunk's
-        results (whose readback overlaps this chunk's device execution —
-        the device never idles between chunks). Returns the previous
+        Pipelined: dispatches THIS chunk, then folds any chunk beyond the
+        queue depth (whose readback overlaps newer chunks' device
+        execution — the device never idles between chunks). Returns that
         chunk's (C, 36) packed rows [T(16), T_rel(16), slot, ok, kf,
-        n_inliers]; call flush() (or any state-reading helper, which
-        flushes for you) to drain the last in-flight chunk.
+        n_inliers] (empty while the queue fills); call flush() (or any
+        state-reading helper, which flushes for you) to drain.
         """
         import time
         t0 = time.perf_counter()
@@ -206,37 +213,61 @@ class ChunkedSlamEngine:
             else self._carry()
         carry, packed = self._chunk(carry_in, imgs)
         self._carry_cache = carry
+        self._pending.append({"carry": carry, "packed": packed,
+                              "imgs": imgs, "t0": t0})
 
-        rows = self._fold_pending()
-        self._pending = {"carry": carry, "packed": packed, "imgs": imgs,
-                         "t0": t0}
+        rows = []
+        while len(self._pending) > self._queue_depth:
+            rows.append(self._fold_one())
         if self._replay_needed:
-            # a loop closure just rewrote the map the in-flight chunk was
-            # built on; recompute it from the corrected state (rare)
+            # a loop closure just rewrote the map the in-flight chunks
+            # were built on; recompute them from the corrected state
             self._replay_needed = False
-            carry_in = self._carry()
-            carry, packed = self._chunk(carry_in, imgs)
-            self._carry_cache = carry
-            self._pending = {"carry": carry, "packed": packed,
-                             "imgs": imgs, "t0": t0}
-        return rows
+            replay = [p["imgs"] for p in self._pending]
+            self._pending = []
+            self._carry_cache = None
+            for imgs_r in replay:
+                carry_in = self._carry_cache if self._carry_cache \
+                    is not None else self._carry()
+                carry, packed = self._chunk(carry_in, imgs_r)
+                self._carry_cache = carry
+                self._pending.append({"carry": carry, "packed": packed,
+                                      "imgs": imgs_r,
+                                      "t0": time.perf_counter()})
+        return np.concatenate(rows, axis=0) if rows else \
+            np.zeros((0, PACK_WIDTH), np.float32)
 
     def flush(self) -> np.ndarray:
-        """Drain the in-flight chunk (no-op when nothing is pending)."""
-        rows = self._fold_pending()
-        if self._replay_needed:
-            self._replay_needed = False
-            self._carry_cache = None
-        return rows
+        """Drain every in-flight chunk (no-op when nothing is pending)."""
+        rows = []
+        while self._pending:
+            rows.append(self._fold_one())
+            if self._replay_needed:
+                # stale chunks were built on a pre-closure map: rerun them
+                self._replay_needed = False
+                replay = [p["imgs"] for p in self._pending]
+                self._pending = []
+                self._carry_cache = None
+                import time
+                for imgs_r in replay:
+                    carry_in = self._carry_cache if self._carry_cache \
+                        is not None else self._carry()
+                    carry, packed = self._chunk(carry_in, imgs_r)
+                    self._carry_cache = carry
+                    self._pending.append({"carry": carry, "packed": packed,
+                                          "imgs": imgs_r,
+                                          "t0": time.perf_counter()})
+        return np.concatenate(rows, axis=0) if rows else \
+            np.zeros((0, PACK_WIDTH), np.float32)
 
-    def _fold_pending(self) -> np.ndarray:
-        """Fold the pending chunk's results into host state — all host
-        arithmetic; an extra device sync here would pay the relay
+    def _fold_one(self) -> np.ndarray:
+        """Fold the oldest pending chunk's results into host state — all
+        host arithmetic; an extra device sync here would pay the relay
         round-trip a second time."""
         import time
-        if self._pending is None:
+        if not self._pending:
             return np.zeros((0, PACK_WIDTH), np.float32)
-        p, self._pending = self._pending, None
+        p = self._pending.pop(0)
         carry = p["carry"]
         packed_np = np.asarray(p["packed"])       # ONE readback per chunk
 
@@ -272,8 +303,7 @@ class ChunkedSlamEngine:
         program inserts blindly; headroom must exist before dispatch)."""
         h = self._host
         cap = self.cfg.map.max_keyframes
-        est = h._n_kf_valid_host + \
-            (self.chunk_size if self._pending is not None else 0)
+        est = h._n_kf_valid_host + self.chunk_size * len(self._pending)
         if est < cap - self.chunk_size - 2:
             return
         self.flush()                     # mirrors must be fresh to cull

@@ -61,17 +61,27 @@ def resize_bilinear(image: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
         return image
     Ry = jnp.asarray(_resize_matrix(h, oh), image.dtype)
     Cx = jnp.asarray(_resize_matrix(w, ow), image.dtype)
-    # full f32 precision: TPU's default f32-matmul path is bf16, whose
-    # ~0.4% intensity error shifts FAST corners and flips BRIEF bits
-    hi = jax.lax.Precision.HIGHEST
-    return jnp.matmul(jnp.matmul(Ry, image, precision=hi), Cx.T,
-                      precision=hi)
+    # 3-pass bf16 (HIGH) matches f32 to ~1e-3 on 0..255 intensities —
+    # far below the FAST thresholds (7/20) and BRIEF comparison noise —
+    # at half the MXU passes of HIGHEST; single-pass bf16 (DEFAULT) is
+    # NOT enough (its ~0.4% error shifts FAST corners and flips bits)
+    hp = jax.lax.Precision.HIGH
+    return jnp.matmul(jnp.matmul(Ry, image, precision=hp), Cx.T,
+                      precision=hp)
 
 
 def build_pyramid(image: jnp.ndarray, cfg: ExtractorConfig) -> List[jnp.ndarray]:
-    """Level-0 image (H, W) float32 -> list of per-level images."""
+    """Level-0 image (H, W) float32 -> list of per-level images.
+
+    Cascaded: each level resamples the PREVIOUS level, exactly like the
+    reference's ComputePyramid (ref src/orb_extractor.cpp:1107-1132,
+    cv::resize level-to-level) — and ~2x cheaper than resizing every
+    level from level 0, since source sizes shrink geometrically."""
     h, w = image.shape
-    return [resize_bilinear(image, hw) for hw in level_shapes(h, w, cfg)]
+    out = [image]
+    for hw in level_shapes(h, w, cfg)[1:]:
+        out.append(resize_bilinear(out[-1], hw))
+    return out
 
 
 @functools.lru_cache(maxsize=8)

@@ -46,13 +46,21 @@ def track_pose(frame: FrameState, Xw: jnp.ndarray, mp_desc: jnp.ndarray,
     map gathered by the caller. T_pred is the constant-velocity prediction
     (ref src/pipeline.cpp:154-166).
     """
+    import jax
+
     m = projection_match(Xw, mp_desc, mp_valid, frame.feats, T_pred, cam,
                          cfg.matcher, cfg.matcher.projection_radius)
     kpt = m.kpt_idx
     z_norm = frame.norm_xy[kpt]
     sigma2 = frame.feats.sigma2[kpt] / (cam.left.fx * cam.left.fx)
-    res = pose_lm.optimize_pose(T_pred, Xw, z_norm, sigma2,
-                                m.ok, cfg.tracker)
+    if jax.default_backend() == "tpu":
+        # whole-solver Pallas kernel: one op instead of ~200 small ones
+        from slam_toolkit_tpu.ops import pose_lm_kernel
+        res = pose_lm_kernel.optimize_pose(T_pred, Xw, z_norm, sigma2,
+                                           m.ok, cfg.tracker)
+    else:
+        res = pose_lm.optimize_pose(T_pred, Xw, z_norm, sigma2,
+                                    m.ok, cfg.tracker)
 
     # reprojection filter in *pixels* (ref ReprojectionFilter(10px),
     # src/posetracker.cpp:106-137)

@@ -128,11 +128,18 @@ def local_ba_step(m: MapState, cam: StereoCamera, cfg: SlamConfig) -> MapState:
     """One local-BA pass over the current window (the mapping-thread work,
     ref src/pipeline.cpp:137-138)."""
     prob, window, pt_ids = build_problem(m, cam, cfg)
-    res = solve_ba(prob, iters=cfg.local_ba.num_iterations,
-                   huber_delta=cfg.local_ba.huber_delta,
-                   lambda0=cfg.local_ba.lm_lambda0,
-                   lambda_up=cfg.local_ba.lm_lambda_up,
-                   lambda_down=cfg.local_ba.lm_lambda_down,
-                   trim_sigma=cfg.local_ba.trim_sigma)
+    if jax.default_backend() == "tpu":
+        # whole-solver Pallas kernel: ~4x faster, and pure f32 (the XLA
+        # path's bf16 geometry einsum needed a precision override)
+        from slam_toolkit_tpu.ops import ba_kernel
+        solver = ba_kernel.solve_ba
+    else:
+        solver = solve_ba
+    res = solver(prob, iters=cfg.local_ba.num_iterations,
+                 huber_delta=cfg.local_ba.huber_delta,
+                 lambda0=cfg.local_ba.lm_lambda0,
+                 lambda_up=cfg.local_ba.lm_lambda_up,
+                 lambda_down=cfg.local_ba.lm_lambda_down,
+                 trim_sigma=cfg.local_ba.trim_sigma)
     return write_back(m, res, window, prob.pose_valid, prob.pose_fixed,
                       pt_ids, prob.point_valid)

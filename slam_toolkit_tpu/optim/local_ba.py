@@ -63,7 +63,12 @@ def _edge_terms(T_cw, Xw, z, inv_sigma, w_mask, s_mask, baseline, delta,
     """
     R = T_cw[:, :3, :3]                        # (W, 3, 3)
     t = T_cw[:, :3, 3]                         # (W, 3)
-    Xc = jnp.einsum('wij,pj->wpi', R, Xw) + t[:, None, :]   # (W, P, 3)
+    # HIGHEST precision: the TPU default rounds the ~100 m coordinates
+    # to bf16, which after 1/sigma whitening injects multi-sigma noise
+    # into every residual (the solver then rejects all its steps).
+    # The contraction is only 3-wide — the cost is negligible.
+    Xc = jnp.einsum('wij,pj->wpi', R, Xw,
+                    precision=jax.lax.Precision.HIGHEST) + t[:, None, :]
     x, y, zc = Xc[..., 0], Xc[..., 1], Xc[..., 2]
     good = zc > 1e-3
     zs = jnp.where(good, zc, 1.0)
@@ -106,7 +111,8 @@ def _residual_terms(T_cw, Xw, z, inv_sigma, w_mask, s_mask, baseline):
     tensors that were thrown away."""
     R = T_cw[:, :3, :3]
     t = T_cw[:, :3, 3]
-    Xc = jnp.einsum('wij,pj->wpi', R, Xw) + t[:, None, :]
+    Xc = jnp.einsum('wij,pj->wpi', R, Xw,
+                    precision=jax.lax.Precision.HIGHEST) + t[:, None, :]
     x, y, zc = Xc[..., 0], Xc[..., 1], Xc[..., 2]
     good = zc > 1e-3
     zs = jnp.where(good, zc, 1.0)

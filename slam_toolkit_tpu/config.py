@@ -78,6 +78,15 @@ class TrackerConfig:
     """Motion-only LM (reference: src/posetracker.cpp)."""
 
     num_iterations: int = 10
+    # tracking method strategy (ref include/method.h:33-50):
+    # "indirect" = descriptor matching + reprojection LM (the default,
+    # the only one the reference Pipeline wires); "direct" = photometric
+    # 8-point-pattern alignment against the latest keyframe image with
+    # affine brightness, the reference's BrightenDirectPoseTracker
+    # (src/posetracker.cpp:250-353) actually wired into the engine here.
+    method: str = "indirect"
+    direct_bind_px: float = 5.0       # post-hoc keypoint binding radius
+    #                                   (ref src/posetracker.cpp:278-317)
     min_matches: int = 8              # retry / accept thresholds
     reprojection_px: float = 10.0     # outlier filter (ReprojectionFilter)
     huber_delta: float = 2.4477468    # sqrt(5.991), on sigma-normalized residual
@@ -132,6 +141,10 @@ class LoopConfig:
 
     min_covisibility: int = 20
     min_score_ratio: float = 0.7      # minScore = 0.7 * best-neighbor score
+    acc_score_ratio: float = 0.75     # keep groups > 0.75 * bestAccScore
+    #                                   (ref src/pipeline_map.cpp:253-269)
+    acc_group_size: int = 10          # top-N covisible KFs per group
+    #                                   (ref src/pipeline_map.cpp:224-251)
     consistency_threshold: int = 5    # consecutive-KF consistency groups
     correction_window: int = 20       # keyframes rigidly pre-corrected by
     #                                   the loop transform before the pose

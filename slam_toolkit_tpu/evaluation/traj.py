@@ -51,11 +51,30 @@ def umeyama(src: np.ndarray, dst: np.ndarray,
 
 def ate_rmse(est_T_cw: Sequence[np.ndarray], gt_T_cw: Sequence[np.ndarray],
              align: bool = True, with_scale: bool = False) -> float:
-    """Absolute trajectory error RMSE over camera centers [m]."""
+    """Absolute trajectory error RMSE over camera centers [m].
+
+    NaN/Inf-tolerant: non-finite estimated poses are excluded from both
+    the alignment and the RMSE, with a loud stderr report of how many
+    were dropped (a degenerate solver step must show up as a diagnostic,
+    not as `SVD did not converge` three layers up). Returns inf when
+    fewer than 3 finite pose pairs remain.
+    """
+    import sys
+
     est = camera_centers(est_T_cw)
     gt = camera_centers(gt_T_cw)
     assert est.shape == gt.shape
-    if align and len(est) >= 3:
+    finite = np.isfinite(est).all(axis=1) & np.isfinite(gt).all(axis=1)
+    n_bad = int((~finite).sum())
+    if n_bad:
+        sys.stderr.write(
+            f"[traj] WARNING: {n_bad}/{len(est)} non-finite poses "
+            f"excluded from ATE (first bad index "
+            f"{int(np.argmin(finite))})\n")
+    est, gt = est[finite], gt[finite]
+    if len(est) < 3:
+        return float("inf")
+    if align:
         R, t, s = umeyama(est, gt, with_scale)
         est = est @ (s * R).T + t
     err = np.linalg.norm(est - gt, axis=1)
@@ -70,11 +89,16 @@ def rpe(est_T_cw: Sequence[np.ndarray], gt_T_cw: Sequence[np.ndarray],
     """
     terr, rerr = [], []
     for i in range(len(est_T_cw) - delta):
+        if not (np.isfinite(est_T_cw[i]).all()
+                and np.isfinite(est_T_cw[i + delta]).all()):
+            continue
         dE = est_T_cw[i + delta] @ np.linalg.inv(est_T_cw[i])
         dG = gt_T_cw[i + delta] @ np.linalg.inv(gt_T_cw[i])
         E = np.linalg.inv(dG) @ dE
         terr.append(np.linalg.norm(E[:3, 3]))
         c = np.clip((np.trace(E[:3, :3]) - 1.0) / 2.0, -1.0, 1.0)
         rerr.append(np.arccos(c))
+    if not terr:
+        return float("inf"), float("inf")
     return (float(np.sqrt(np.mean(np.square(terr)))),
             float(np.sqrt(np.mean(np.square(rerr)))))

@@ -7,9 +7,13 @@ the 8-point-pattern photometric error at a coarse-to-fine schedule
 (DirectPyramid ratio 0.6, ref src/optimizer.cpp:15-37), estimating SE3
 pose plus affine brightness (a, b).
 
-Offered as the alternate tracking backend (the reference's
-Method-strategy axis: IndirectStereoMethod vs DirectStereoMethod,
-ref include/method.h:33-50) — select via SlamConfig or call directly.
+The alternate tracking backend of the Method-strategy axis
+(IndirectStereoMethod vs DirectStereoMethod, ref include/method.h:33-50):
+set SlamConfig.tracker.method = "direct" and SlamEngine tracks every
+frame photometrically against the latest keyframe image, with post-hoc
+keypoint binding for map bookkeeping (pipeline/engine.py _track_dir).
+The reference builds this tracker but never wires it into its Pipeline;
+here it is selectable end-to-end (tests/test_direct_engine.py).
 """
 
 from __future__ import annotations

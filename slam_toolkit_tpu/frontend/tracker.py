@@ -53,9 +53,10 @@ def track_pose(frame: FrameState, Xw: jnp.ndarray, mp_desc: jnp.ndarray,
     kpt = m.kpt_idx
     z_norm = frame.norm_xy[kpt]
     sigma2 = frame.feats.sigma2[kpt] / (cam.left.fx * cam.left.fx)
-    if jax.default_backend() == "tpu":
+    from slam_toolkit_tpu.ops import pose_lm_kernel
+    from slam_toolkit_tpu.utils.kernel_probe import use_pallas
+    if use_pallas("pose_lm", pose_lm_kernel._probe):
         # whole-solver Pallas kernel: one op instead of ~200 small ones
-        from slam_toolkit_tpu.ops import pose_lm_kernel
         res = pose_lm_kernel.optimize_pose(T_pred, Xw, z_norm, sigma2,
                                            m.ok, cfg.tracker)
     else:

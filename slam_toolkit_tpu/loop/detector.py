@@ -78,6 +78,53 @@ def score_query(m: MapState, bow_db: jnp.ndarray, bow_query: jnp.ndarray,
                       candidates=candidates)
 
 
+def acc_score_retrieval(scores: np.ndarray, cand_slots: np.ndarray,
+                        covis_rows: np.ndarray, accept_ratio: float = 0.75,
+                        group_size: int = 10):
+    """Covisibility-group score accumulation (ref src/pipeline_map.cpp:224-269).
+
+    Single-frame BoW similarity aliases: two distinct places can share
+    enough words to out-score a true revisit. The reference therefore
+    accumulates each candidate's score over its top-`group_size`
+    covisible keyframes that are themselves candidates, and keeps only
+    groups scoring > accept_ratio * bestAccScore, represented by the
+    group's best-scoring member.
+
+    scores: (F,) BoW score per keyframe slot. cand_slots: (C,) raw
+    candidate slots. covis_rows: (C, F) shared-mappoint counts of each
+    candidate vs every slot. Returns (kept_slots, kept_acc) — deduped
+    representative slots sorted by descending group score.
+    """
+    cand_set = set(int(c) for c in cand_slots)
+    reps, accs = [], []
+    for ci, cs in enumerate(cand_slots):
+        cov = covis_rows[ci].copy()
+        cov[int(cs)] = 0
+        top = np.argsort(-cov)[:group_size]
+        top = top[cov[top] > 0]
+        acc = float(scores[int(cs)])
+        best_slot, best_score = int(cs), float(scores[int(cs)])
+        for j in top:
+            if int(j) in cand_set:
+                acc += float(scores[int(j)])
+                if float(scores[int(j)]) > best_score:
+                    best_slot, best_score = int(j), float(scores[int(j)])
+        reps.append(best_slot)
+        accs.append(acc)
+    if not reps:
+        return np.empty((0,), np.int64), np.empty((0,))
+    accs = np.asarray(accs)
+    keep = accs > accept_ratio * accs.max()
+    out, seen = [], set()
+    for r, a in sorted(zip(np.asarray(reps)[keep], accs[keep]),
+                       key=lambda t: -t[1]):
+        if int(r) not in seen:
+            seen.add(int(r))
+            out.append((int(r), float(a)))
+    return (np.asarray([o[0] for o in out], np.int64),
+            np.asarray([o[1] for o in out]))
+
+
 class ConsistencyTracker:
     """Host-side temporal-consistency groups (ref src/loopdetector.cpp:92-146).
 

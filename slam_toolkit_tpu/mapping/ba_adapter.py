@@ -128,10 +128,11 @@ def local_ba_step(m: MapState, cam: StereoCamera, cfg: SlamConfig) -> MapState:
     """One local-BA pass over the current window (the mapping-thread work,
     ref src/pipeline.cpp:137-138)."""
     prob, window, pt_ids = build_problem(m, cam, cfg)
-    if jax.default_backend() == "tpu":
+    from slam_toolkit_tpu.ops import ba_kernel
+    from slam_toolkit_tpu.utils.kernel_probe import use_pallas
+    if use_pallas("local_ba", ba_kernel._probe):
         # whole-solver Pallas kernel: ~4x faster, and pure f32 (the XLA
         # path's bf16 geometry einsum needed a precision override)
-        from slam_toolkit_tpu.ops import ba_kernel
         solver = ba_kernel.solve_ba
     else:
         solver = solve_ba
@@ -141,5 +142,14 @@ def local_ba_step(m: MapState, cam: StereoCamera, cfg: SlamConfig) -> MapState:
                  lambda_up=cfg.local_ba.lm_lambda_up,
                  lambda_down=cfg.local_ba.lm_lambda_down,
                  trim_sigma=cfg.local_ba.trim_sigma)
+    # belt-and-braces: a solver that returns ANY non-finite value is
+    # discarded wholesale (keep the pre-BA map). The kernels guard their
+    # own steps, but a single escaped NaN here poisons every later frame
+    # (round-1 bench died exactly this way — BENCH_r01.json).
+    ok = (jnp.isfinite(res.T_cw).all() & jnp.isfinite(res.Xw).all())
+    res = BAResult(
+        T_cw=jnp.where(ok, res.T_cw, prob.T_cw),
+        Xw=jnp.where(ok, res.Xw, prob.Xw),
+        cost=res.cost, edge_r2=res.edge_r2)
     return write_back(m, res, window, prob.pose_valid, prob.pose_fixed,
                       pt_ids, prob.point_valid)

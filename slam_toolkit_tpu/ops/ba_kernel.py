@@ -61,9 +61,18 @@ def _inv3_rows(h00, h01, h02, h11, h12, h22):
 
 
 def _gauss_jordan(M, n):
-    """Unrolled no-pivot elimination on the (n, n+1) augmented system."""
+    """Unrolled no-pivot elimination on the (n, n+1) augmented system.
+
+    Pivots are clamped away from zero: the system is Jacobi-scaled and
+    LM-damped by the caller so a vanishing pivot means a degenerate
+    (gauge-fixed / padded) row, where any finite step is fine — the
+    caller's finite/accept test rejects bad steps, but a 0/0 NaN here
+    would otherwise poison the whole augmented matrix.
+    """
     for k in range(n):
         piv = M[k, k]
+        piv = jnp.where(jnp.abs(piv) < 1e-12,
+                        jnp.where(piv < 0, -1e-12, 1e-12), piv)
         row = M[k:k + 1, :] / piv
         M = M - M[:, k:k + 1] * row
         onehot = (jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0) == k) \
@@ -328,9 +337,16 @@ def _ba_pallas(Tw, free, Xr, z3, inv_sigma, obs_w, stereo_w, pt_valid,
             cols16 = []
             for i in range(3):
                 cols16 += [c0[i], c1[i], c2[i], Tn[4 * i + 3]]
-            zero = jnp.zeros_like(fp)
+            zero = fp * 0.0
             cols16 += [zero, zero, zero, zero + 1.0]
-            T_try_all = jnp.concatenate(cols16, axis=1)   # (W, 16)
+            # assemble (W, 16) via one-hot broadcast sums: Mosaic (current
+            # libtpu) rejects tpu.concatenate of (W, 1) vectors whose
+            # sublane offsets differ ("offset mismatch on non-concat
+            # dimension"); 16 masked adds lower cleanly on the VPU
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, 16), 1)
+            T_try_all = sum(
+                cols16[j] * (lane == j).astype(jnp.float32)
+                for j in range(16))                       # (W, 16)
             T_try = jnp.where(fp > 0, T_try_all, T)
 
             X0t = X0 + dl[0] * pv
@@ -380,6 +396,22 @@ def _ba_pallas(Tw, free, Xr, z3, inv_sigma, obs_w, stereo_w, pt_valid,
     )(Tw, free, Xr, z3, inv_sigma, obs_w, stereo_w, pt_valid, baseline,
       bd_masks)
     return out
+
+
+def _probe():
+    W, P = 4, 128
+    p = BAProblem(
+        T_cw=jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (W, 4, 4)),
+        pose_fixed=jnp.zeros((W,), bool).at[0].set(True),
+        pose_valid=jnp.ones((W,), bool),
+        Xw=jnp.ones((P, 3), jnp.float32) * jnp.asarray([0.1, 0.1, 5.0]),
+        point_valid=jnp.ones((P,), bool),
+        z=jnp.zeros((W, P, 3), jnp.float32),
+        inv_sigma=jnp.ones((W, P), jnp.float32),
+        obs_mask=jnp.ones((W, P), bool),
+        stereo_mask=jnp.ones((W, P), bool),
+        baseline=jnp.float32(0.5))
+    jax.block_until_ready(solve_ba(p, iters=1).T_cw)
 
 
 def solve_ba(p: BAProblem, iters: int = 10, huber_delta: float = 2.4477468,

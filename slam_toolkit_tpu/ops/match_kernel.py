@@ -157,6 +157,14 @@ def _topk2_xla(a_desc, b_desc, a_uv, b_xy, radius: float):
     return jnp.stack(cols + [zero, zero], axis=1)
 
 
+def _probe():
+    import numpy as np
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.integers(0, 2 ** 32, (128, 8)).astype(np.uint32))
+    uv = jnp.zeros((128, 2), jnp.float32)
+    jax.block_until_ready(_topk2_pallas(a, a, uv, uv, 50.0))
+
+
 def topk2_match(a_desc: jnp.ndarray, b_desc: jnp.ndarray,
                 a_uv: jnp.ndarray, b_xy: jnp.ndarray, radius: float):
     """Top-2 Hamming matches under two pixel-radius gates (r, 2r).
@@ -166,6 +174,7 @@ def topk2_match(a_desc: jnp.ndarray, b_desc: jnp.ndarray,
     b_xy (N, 2): target keypoints, same convention. Returns (M, 8) f32:
     [best_r, second_r, argbest_r, best_2r, second_2r, argbest_2r, 0, 0].
     """
-    if jax.default_backend() == "tpu":
+    from slam_toolkit_tpu.utils.kernel_probe import use_pallas
+    if use_pallas("match_topk2", _probe):
         return _topk2_pallas(a_desc, b_desc, a_uv, b_xy, float(radius))
     return _topk2_xla(a_desc, b_desc, a_uv, b_xy, float(radius))

@@ -110,6 +110,13 @@ def gather_blocks(img: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray,
     """
     ys = ys.astype(jnp.int32)
     xs = xs.astype(jnp.int32)
-    if jax.default_backend() == "tpu":
+    from slam_toolkit_tpu.utils.kernel_probe import use_pallas
+    if use_pallas("patch_gather", _probe):
         return _gather_blocks_pallas(img, ys, xs, bh, bw)
     return _gather_blocks_fallback(img, ys, xs, bh, bw)
+
+
+def _probe():
+    img = jnp.zeros((64, 256), jnp.float32)
+    idx = jnp.zeros((8,), jnp.int32)
+    jax.block_until_ready(_gather_blocks_pallas(img, idx, idx, 37, 37))

@@ -229,6 +229,16 @@ def _pose_lm_pallas(T_init, X, Z, inv_sigma, wv, cfg: TrackerConfig,
     return out
 
 
+def _probe():
+    T = jnp.eye(4, dtype=jnp.float32)
+    Xw = jnp.ones((64, 3), jnp.float32) * jnp.asarray([0.1, 0.1, 5.0])
+    z = jnp.zeros((64, 2), jnp.float32)
+    s2 = jnp.ones((64,), jnp.float32)
+    w = jnp.ones((64,), bool)
+    jax.block_until_ready(
+        optimize_pose(T, Xw, z, s2, w, TrackerConfig(num_iterations=1)).T_cw)
+
+
 def optimize_pose(T_init: jnp.ndarray, Xw: jnp.ndarray, z_norm: jnp.ndarray,
                   sigma2: jnp.ndarray, weight_mask: jnp.ndarray,
                   cfg: TrackerConfig, interpret: bool = False) -> PoseLMResult:

@@ -127,6 +127,13 @@ def _curve_pallas(img_l, img_r, ys0, xl0, xs0, max_disp: int,
     return out[:k]
 
 
+def _probe():
+    img = jnp.zeros((64, 512), jnp.float32)
+    idx = jnp.full((8,), 16, jnp.int32)
+    jax.block_until_ready(
+        _curve_pallas(img, img, idx, idx, idx, 100))
+
+
 def match(img_left: jnp.ndarray, img_right: jnp.ndarray,
           xy: jnp.ndarray, valid: jnp.ndarray, max_disp: int = 100,
           uniqueness: float = 0.15):
@@ -152,7 +159,8 @@ def match(img_left: jnp.ndarray, img_right: jnp.ndarray,
     xs0 = jnp.clip(xs0r, 0, w - sw)
     clamped = (ys0 != ys0r) | (xl0 != xl0r)
 
-    if jax.default_backend() == "tpu":
+    from slam_toolkit_tpu.utils.kernel_probe import use_pallas
+    if use_pallas("stereo_sad", _probe):
         sad = _curve_pallas(img_left, img_right, ys0, xl0, xs0, max_disp)
     else:
         sad = _curve_fallback(img_left, img_right, ys0, xl0, xs0, max_disp)

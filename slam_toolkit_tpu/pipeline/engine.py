@@ -25,6 +25,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from slam_toolkit_tpu.config import SlamConfig
+from slam_toolkit_tpu.loop.detector import \
+    acc_score_retrieval as det_acc_retrieval
 from slam_toolkit_tpu.frontend.frame import FrameState, add_stereo, build_frame
 from slam_toolkit_tpu.frontend.tracker import TrackResult, track_pose
 from slam_toolkit_tpu.geometry import se3
@@ -149,9 +151,62 @@ class SlamEngine:
                                        protect_recent=cfg.local_ba
                                        .window_keyframes)
 
+        if cfg.tracker.method == "direct":
+            from slam_toolkit_tpu.frontend.direct_tracker import track_direct
+            from slam_toolkit_tpu.frontend.matching import projection_match
+            from slam_toolkit_tpu.geometry import camera as cam_mod
+            from slam_toolkit_tpu.optim.direct_lm import DirectState
+
+            @jax.jit
+            def _track_dir(frame: FrameState, img, Xw, desc, valid, T_prev,
+                           velocity, kf_T_latest, kf_img, kf_ab):
+                """Direct-method hot path: photometric pose against the
+                latest keyframe image (ref BrightenDirectPoseTracker,
+                src/posetracker.cpp:250-353), then post-hoc keypoint
+                binding at direct_bind_px for the same bookkeeping the
+                indirect path produces (ref :278-317)."""
+                T_pred = se3.compose(velocity, T_prev)
+                ref_state = DirectState(T_cw=kf_T_latest, a=kf_ab[0],
+                                        b=kf_ab[1])
+                dres = track_direct(kf_img, ref_state, img, T_pred,
+                                    cam.left, Xw, valid)
+                T_dir = se3.normalize(dres.state.T_cw)
+                mm = projection_match(Xw, desc, valid, frame.feats, T_dir,
+                                      cam, cfg.matcher,
+                                      cfg.tracker.direct_bind_px)
+                Xc = se3.transform(T_dir, Xw)
+                uv = cam_mod.project(cam.left, Xc)
+                err_px = jnp.linalg.norm(
+                    uv - frame.feats.xy[mm.kpt_idx], axis=-1)
+                inlier = mm.ok & (Xc[..., 2] > 0.0) & \
+                    (err_px <= cfg.tracker.direct_bind_px)
+                n_in = jnp.sum(inlier)
+                ok = n_in >= cfg.tracker.min_matches
+                res = TrackResult(T_cw=T_dir, mp_kpt=mm.kpt_idx,
+                                  mp_inlier=inlier, n_matches=mm.n_matches,
+                                  n_inliers=n_in, ok=ok)
+                matched_xy = frame.feats.xy[res.mp_kpt]
+                needs = kf_rule.needs_keyframe(
+                    matched_xy, res.mp_inlier, cfg.camera.width,
+                    cfg.camera.height, cfg.keyframe)
+                T_new = jnp.where(ok, T_dir, T_pred)
+                vel_new = se3.normalize(se3.compose(T_new, se3.inv(T_prev)))
+                T_rel = se3.compose(T_new, se3.inv(kf_T_latest))
+                packed = jnp.concatenate([
+                    T_new.reshape(-1), T_rel.reshape(-1),
+                    jnp.stack([ok.astype(jnp.float32),
+                               needs.astype(jnp.float32),
+                               n_in.astype(jnp.float32),
+                               dres.state.a, dres.state.b])])
+                return res, T_new, vel_new, packed
+
+            self._track_direct = _track_dir
+
         self._build, self._stereo = _build, _stereo
         self._track, self._insert, self._ba = _track, _insert, _ba
         self._cull, self._snapshot = _cull, _snapshot
+        self._kf_img = None
+        self._kf_ab = jnp.zeros((2,))
         # device-resident landmark snapshot + host mirrors of slow-moving
         # state, refreshed only at keyframe events
         self._lm, self._latest_kf_T_dev, counts = _snapshot(self.map)
@@ -224,9 +279,15 @@ class SlamEngine:
             return np.asarray(self.T_cw)
 
         Xw, desc, ids, valid = self._lm
-        res, T_new, vel_new, packed = self._track(
-            frame, Xw, desc, valid, self.T_cw, self.velocity,
-            self._latest_kf_T_dev)
+        if self.cfg.tracker.method == "direct":
+            res, T_new, vel_new, packed = self._track_direct(
+                frame, img_l, Xw, desc, valid, self.T_cw, self.velocity,
+                self._latest_kf_T_dev, self._kf_img, self._kf_ab)
+            self._kf_ab = packed[35:37]
+        else:
+            res, T_new, vel_new, packed = self._track(
+                frame, Xw, desc, valid, self.T_cw, self.velocity,
+                self._latest_kf_T_dev)
         packed_np = np.asarray(packed)           # the one readback
         tracked_ok = packed_np[32] > 0.5
         needs_kf = packed_np[33] > 0.5
@@ -312,6 +373,11 @@ class SlamEngine:
                 raise RuntimeError(f"keyframe capacity {cap} exhausted "
                                    f"(nothing redundant to cull)")
         frame = self._stereo(frame, img_l, img_r)
+        if self.cfg.tracker.method == "direct":
+            # the new keyframe becomes the photometric anchor; its (a, b)
+            # are whatever tracking last estimated (bootstrap: 0, 0)
+            self._kf_img = img_l if isinstance(img_l, jnp.ndarray) \
+                else jnp.asarray(img_l, jnp.float32)
         if ids is None:
             L = self.cfg.map.track_landmarks
             ids = jnp.zeros((L,), jnp.int32)
@@ -363,11 +429,24 @@ class SlamEngine:
             self.consistency.update([])
             return
         scores = np.asarray(sc.scores)
-        cand_slots = np.flatnonzero(cand_mask)
+        raw_slots = np.flatnonzero(cand_mask)
+        covis_rows = np.stack([
+            np.asarray(self._covis(self.map, jnp.int32(int(cs))))
+            for cs in raw_slots])
+        # accumulate over covisibility groups, keep > 0.75 * best group
+        # (ref src/pipeline_map.cpp:224-269; suppresses single-frame
+        # BoW aliasing)
+        cand_slots, _ = det_acc_retrieval(
+            scores, raw_slots, covis_rows,
+            self.cfg.loop.acc_score_ratio, self.cfg.loop.acc_group_size)
+        if len(cand_slots) == 0:
+            self.consistency.update([])
+            return
+        row_of = {int(c): i for i, c in enumerate(raw_slots)}
         # covisibility group per candidate (candidate + its neighbors)
         groups = []
         for cs in cand_slots:
-            cov = np.asarray(self._covis(self.map, jnp.int32(int(cs))))
+            cov = covis_rows[row_of[int(cs)]]
             grp = set(np.flatnonzero(
                 cov >= self.cfg.loop.min_covisibility).tolist())
             grp.add(int(cs))

@@ -14,9 +14,12 @@ Replaces vendored DBoW2 (ref thirdparty/DBoW2/DBoW2/TemplatedVocabulary.h):
 
 The reference ships a 1M-word ORBvoc (k=10, L=6); loop-closure recall on
 a single sequence saturates far below that, so the default here is
-k=10, L=4 (10k words) trained on the target domain. The text format of
-ORBvoc is NOT parsed — descriptors in this engine use their own sampling
-pattern (ops/brief.py), so a foreign vocabulary would mismatch anyway.
+k=10, L=4 (10k words) trained on the target domain. The DBoW2 text
+format IS supported for interop (load_dbow2_text / save_dbow2_text
+below, same header + node-line layout as TemplatedVocabulary.h:1338+)
+— but note a vocabulary imported from the reference's ORBvoc.txt will
+score poorly against descriptors from this engine, whose BRIEF uses its
+own sampling pattern (ops/brief.py); train on the target domain instead.
 """
 
 from __future__ import annotations

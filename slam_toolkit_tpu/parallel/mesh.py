@@ -88,3 +88,63 @@ def multi_sequence_step(cfg: SlamConfig, cam: StereoCamera, mesh: Mesh):
         return maps2, T_new, n_inl
 
     return step
+
+
+def batched_bootstrap(cfg: SlamConfig, cam: StereoCamera):
+    """f(maps, lefts, rights) -> batched ChunkCarry: insert frame 0 of
+    every sequence as its first keyframe (the host bootstrap of
+    pipeline/engine.py process(), batched)."""
+    from slam_toolkit_tpu.frontend.frame import add_stereo
+    from slam_toolkit_tpu.pipeline.scan_engine import ChunkCarry
+
+    def one(m: MapState, left, right):
+        from slam_toolkit_tpu.mapping.map_state import insert_keyframe
+        frame = build_frame(left, cam, cfg)
+        frame = add_stereo(frame, left, right, cam, cfg)
+        L = cfg.map.track_landmarks
+        m2, slot = insert_keyframe(
+            m, frame, jnp.eye(4), jnp.int32(0),
+            jnp.zeros((L,), jnp.int32), jnp.zeros((L,), jnp.int32),
+            jnp.zeros((L,), bool), cfg)
+        lm = gather_local_landmarks(m2, L, cfg.map.track_recent_kfs)
+        return ChunkCarry(
+            m=m2, T_cw=jnp.eye(4), velocity=jnp.eye(4),
+            lm_Xw=lm[0], lm_desc=lm[1], lm_ids=lm[2], lm_valid=lm[3],
+            latest_slot=slot.astype(jnp.int32), latest_T=m2.kf_T_cw[slot],
+            frame_id=jnp.int32(1), inlier_peak=jnp.float32(0.0))
+
+    return jax.vmap(one)
+
+
+def multi_sequence_engine(cfg: SlamConfig, cam: StereoCamera, mesh: Mesh):
+    """The FULL engine step batched over sequences: tracking, keyframe
+    decision, stereo landmark supply, keyframe insertion, weak-mappoint
+    culling, and local BA — the complete scan-engine frame body
+    (pipeline/scan_engine.make_frame_body) vmapped over the `seq` axis,
+    so per-sequence maps GROW independently (BASELINE.json config 5).
+
+    Returns (bootstrap, step):
+      bootstrap(maps, lefts, rights) -> carry          (frame 0 per seq)
+      step(carry, lefts, rights) -> (carry, packed (B, 36))
+
+    Under vmap the keyframe lax.cond lowers to masked execution of both
+    branches; a sequence that doesn't need a keyframe keeps its map
+    bit-identical via the select. Shard the batched carry/images over
+    `seq` (shard_batch) and XLA partitions the whole program with zero
+    cross-device communication.
+    """
+    from slam_toolkit_tpu.pipeline.scan_engine import make_frame_body
+
+    body = make_frame_body(cfg, cam)
+
+    def one(carry, left, right):
+        frame = build_frame(left, cam, cfg)
+        return body(carry, (frame, left, right))
+
+    vbody = jax.vmap(one)
+
+    @jax.jit
+    def step(carry, lefts, rights):
+        return vbody(carry, lefts, rights)
+
+    return jax.jit(batched_bootstrap(cfg, cam)), step

@@ -51,14 +51,16 @@ class ChunkCarry(NamedTuple):
 PACK_WIDTH = 16 + 16 + 4  # T, T_rel, [slot, ok, kf, n_inliers]
 
 
-def make_chunk_fn(cfg: SlamConfig, cam: StereoCamera):
-    """Returns jit(chunk)(carry, images (C, 2, H, W)) -> (carry, (C, 36)).
+def make_frame_body(cfg: SlamConfig, cam: StereoCamera):
+    """The complete per-frame step as a pure scan body:
+    (carry, (frame, left, right)) -> (carry, packed(36,)).
 
-    Extraction is batched over the whole chunk (vmap) BEFORE the scan:
-    left-image features have no cross-frame dependency, and batching
-    keeps the small upper pyramid levels from under-utilizing the VPU.
-    The sequential scan then only runs the state-dependent work
-    (tracking, keyframe events)."""
+    Tracking, keyframe rule, and — under lax.cond — stereo supply,
+    keyframe insertion, weak-mappoint culling, local BA, and the
+    landmark-snapshot refresh. Used sequentially by the chunked scan
+    driver below and vmapped over sequences by parallel/mesh.py (where
+    the batched cond lowers to masked execution of both branches —
+    the honest SPMD cost of divergent control flow)."""
 
     def frame_body(carry: ChunkCarry, xs):
         frame, left, right = xs
@@ -117,6 +119,18 @@ def make_chunk_fn(cfg: SlamConfig, cam: StereoCamera):
             inlier_peak=peak_new)
         return new_carry, packed
 
+    return frame_body
+
+
+def make_chunk_fn(cfg: SlamConfig, cam: StereoCamera):
+    """Returns jit(chunk)(carry, images (C, 2, H, W)) -> (carry, (C, 36)).
+
+    Extraction is streamed inside the scan (batching it ahead was
+    measured slower; see the NOTE below); the scan body is the full
+    per-frame step from make_frame_body."""
+
+    frame_body = make_frame_body(cfg, cam)
+
     @jax.jit
     def chunk(carry: ChunkCarry, images: jnp.ndarray):
         # NOTE: batching extraction over the chunk with vmap before the
@@ -155,6 +169,8 @@ class ChunkedSlamEngine:
         self._pending: List[dict] = []
         self._queue_depth = 2
         self._replay_needed = False                # loop closure hit mid-flight
+        self.n_replays = 0                         # closures that landed while
+        #                                            chunks were in flight
         # reuse the classic engine for bootstrap + loop/cull machinery
         from slam_toolkit_tpu.pipeline.engine import SlamEngine
         self._host = SlamEngine(self.cfg, self.cam, vocab=vocab)
@@ -223,6 +239,7 @@ class ChunkedSlamEngine:
             # a loop closure just rewrote the map the in-flight chunks
             # were built on; recompute them from the corrected state
             self._replay_needed = False
+            self.n_replays += 1
             replay = [p["imgs"] for p in self._pending]
             self._pending = []
             self._carry_cache = None

@@ -32,6 +32,12 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # persistent compile cache: the chunk program costs ~2 min to build
+    # through this environment's remote-compile relay; repeat runs must
+    # not pay it (the driver's round-end bench has a time budget)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 
     from slam_toolkit_tpu.config import SlamConfig
     from slam_toolkit_tpu.data.synthetic import make_sequence
@@ -51,30 +57,27 @@ def main():
         "BENCH_CACHE",
         f"/tmp/slam_bench_seq_v2_{n_frames}_{cfg.camera.width}x"
         f"{cfg.camera.height}.npz")
-    if cache and os.path.exists(cache):
-        data = np.load(cache)
-        gt = [data["gt"][i] for i in range(n_frames)]
-        frames = [(data["l"][i].astype(np.float32),
-                   data["r"][i].astype(np.float32))
-                  for i in range(n_frames)]
-        sys.stderr.write(f"[bench] loaded {n_frames} cached frames in "
+    if cache and os.path.exists(cache + ".npy"):
+        # one uncompressed (N, 2, H, W) uint8 .npy, mmapped: near-zero
+        # host cost (the float conversion happens per-chunk on upload)
+        stacked = np.load(cache + ".npy", mmap_mode="r")
+        gt = list(np.load(cache + ".gt.npy"))
+        sys.stderr.write(f"[bench] mapped {n_frames} cached frames in "
                          f"{time.perf_counter() - t_setup:.1f}s\n")
     else:
         world, gt, frames = make_sequence(cfg, n_frames=n_frames, seed=7,
                                           step=0.8)
+        stacked = np.stack([
+            np.stack([np.clip(l, 0, 255), np.clip(r, 0, 255)])
+            for l, r in frames]).astype(np.uint8)
         sys.stderr.write(f"[bench] rendered {n_frames} frames in "
                          f"{time.perf_counter() - t_setup:.1f}s\n")
         if cache:
-            np.savez_compressed(
-                cache, gt=np.stack(gt),
-                l=np.stack([np.clip(l, 0, 255) for l, _ in frames]
-                           ).astype(np.uint8),
-                r=np.stack([np.clip(r, 0, 255) for _, r in frames]
-                           ).astype(np.uint8))
+            np.save(cache + ".npy", stacked)
+            np.save(cache + ".gt.npy", np.stack(gt))
     chunks = []
     for i in range(0, n_frames, chunk):
-        block = np.stack([np.stack([l, r]) for l, r in frames[i:i + chunk]])
-        chunks.append(jnp.asarray(block, jnp.float32))
+        chunks.append(jnp.asarray(stacked[i:i + chunk], jnp.float32))
     jax.block_until_ready(chunks)
 
     t_setup = time.perf_counter()

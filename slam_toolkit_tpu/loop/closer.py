@@ -62,21 +62,49 @@ def relative_pose(m: MapState, cur_slot: jnp.ndarray, cand_slot: jnp.ndarray,
 
     feats = _kf_features(m, cur_slot)
     T_pred = m.kf_T_cw[cand_slot]
+
+    def solve(kpt, ok):
+        z_norm = m.kf_norm[cur_slot][kpt]
+        sigma2 = m.kf_sigma2[cur_slot][kpt] / (cam.left.fx * cam.left.fx)
+        res = pose_lm.optimize_pose(T_pred, Xw, z_norm, sigma2, ok,
+                                    cfg.tracker)
+        Xc = se3.transform(res.T_cw, Xw)
+        uv = cam_mod.project(cam.left, Xc)
+        err = jnp.linalg.norm(uv - m.kf_xy[cur_slot][kpt], axis=-1)
+        inlier = ok & (Xc[..., 2] > 0) & \
+            (err <= cfg.tracker.reprojection_px)
+        return res.T_cw, jnp.sum(inlier)
+
     # 2x the tracking radius: the prediction here carries the full
     # accumulated loop drift, not one frame of motion
     match = projection_match(Xw, desc, valid, feats, T_pred, cam,
                              cfg.matcher, 2.0 * cfg.matcher.projection_radius)
-    kpt = match.kpt_idx
-    z_norm = m.kf_norm[cur_slot][kpt]
-    sigma2 = m.kf_sigma2[cur_slot][kpt] / (cam.left.fx * cam.left.fx)
-    res = pose_lm.optimize_pose(T_pred, Xw, z_norm, sigma2, match.ok,
-                                cfg.tracker)
-    Xc = se3.transform(res.T_cw, Xw)
-    uv = cam_mod.project(cam.left, Xc)
-    err = jnp.linalg.norm(uv - m.kf_xy[cur_slot][kpt], axis=-1)
-    inlier = match.ok & (Xc[..., 2] > 0) & (err <= cfg.tracker.reprojection_px)
-    n = jnp.sum(inlier)
-    return RelPoseResult(T_cw=res.T_cw, n_inliers=n,
+    T_proj, n_proj = solve(match.kpt_idx, match.ok)
+
+    # FeatureVector-equivalent fallback: the reference seeds loop
+    # matching from DBoW2 node groups (TemplatedVocabulary.h:135-146 via
+    # matcher SearchByBoW), which needs NO pose prior — so it survives
+    # drift beyond any projection radius. The TPU form of "match within
+    # a vocabulary node" is simply the full masked Hamming matmul with a
+    # mutual-consistency check; the tree pruning buys nothing on an MXU.
+    from slam_toolkit_tpu.ops import hamming
+    gmask = valid[:, None] & feats.valid[None, :]
+    dist = hamming.masked_distance(desc, feats.desc, gmask)
+    gidx, gok = hamming.ratio_test_match(dist, cfg.matcher.ratio,
+                                         cfg.matcher.max_hamming)
+    back = jnp.argmin(dist, axis=0)
+    gok = gok & (back[gidx] == jnp.arange(gidx.shape[0]))
+    gok = hamming.keep_best_per_target(
+        gidx, gok, dist[jnp.arange(gidx.shape[0]), gidx],
+        feats.desc.shape[0])
+    T_glob, n_glob = solve(gidx, gok)
+
+    # prefer the projective solve (tighter gating); fall back to the
+    # global solve when projection found too little and global did better
+    use_glob = (n_proj < cfg.loop.min_matches) & (n_glob > n_proj)
+    T = jnp.where(use_glob, T_glob, T_proj)
+    n = jnp.where(use_glob, n_glob, n_proj)
+    return RelPoseResult(T_cw=T, n_inliers=n,
                          ok=n >= cfg.loop.min_matches)
 
 

@@ -102,6 +102,49 @@ def test_closure_improves_seam_consistency(closed_run, circle_setup):
         f"closure didn't help: {seam_closed:.2f} vs open {seam_open:.2f}"
 
 
+def test_global_match_fallback_when_projection_finds_nothing():
+    """FeatureVector-equivalent fallback (loop/closer.relative_pose):
+    when the revisit viewpoint offset exceeds the projection gate the
+    projective seed finds nothing; the pose-prior-free global descriptor
+    match must still recover the relative pose (the reference seeds loop
+    matching from DBoW2 node groups for exactly this reason,
+    TemplatedVocabulary.h:135-146). The gate is forced shut here with a
+    sub-pixel projection radius."""
+    import dataclasses
+
+    from slam_toolkit_tpu.data.synthetic import make_sequence
+    from slam_toolkit_tpu.geometry.camera import StereoCamera
+    from slam_toolkit_tpu.loop.closer import relative_pose
+
+    cfg = SlamConfig.tiny()
+    cam = StereoCamera.from_config(cfg.camera)
+    world, gt, frames = make_sequence(cfg, n_frames=8, seed=3, step=0.25)
+    eng = SlamEngine(cfg)
+    for lf, rf in frames:
+        eng.process(lf, rf)
+    m = eng.map
+    fid = np.asarray(m.kf_frame_id)
+    valid = np.asarray(m.kf_valid)
+    slots = np.flatnonzero(valid)[np.argsort(fid[valid])]
+    assert len(slots) >= 2
+    cand, cur = int(slots[0]), int(slots[-1])
+
+    # 0.05 px radius: the projective seed cannot match anything, so only
+    # the global descriptor path can produce the relative pose
+    shut = dataclasses.replace(
+        cfg, matcher=dataclasses.replace(cfg.matcher,
+                                         projection_radius=0.05))
+    rel = relative_pose(m, jnp.int32(cur), jnp.int32(cand), cam, shut)
+    assert bool(rel.ok), \
+        f"global fallback failed: {int(rel.n_inliers)} inliers"
+    T_got = np.asarray(rel.T_cw)
+    T_true = np.asarray(m.kf_T_cw[cur])
+    c_got = -T_got[:3, :3].T @ T_got[:3, 3]
+    c_true = -T_true[:3, :3].T @ T_true[:3, 3]
+    assert np.linalg.norm(c_got - c_true) < 0.3, \
+        f"recovered center {c_got} vs true {c_true}"
+
+
 def test_relocalization_recovers():
     """Blind the engine for a stretch while teleporting the camera back:
     constant velocity cannot recover, BoW relocalization must

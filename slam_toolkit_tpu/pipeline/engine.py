@@ -151,6 +151,19 @@ class SlamEngine:
                                        protect_recent=cfg.local_ba
                                        .window_keyframes)
 
+        @jax.jit
+        def _cull_any(m):
+            # forced eviction at capacity: when nothing clears the 0.8
+            # redundancy bar the engine must degrade (evict the MOST
+            # redundant unprotected keyframe anyway), not crash — the
+            # reference never hard-fails on memory either, it just
+            # drops old frames (CullingOldFrames,
+            # ref src/pipeline_map.cpp:100-129)
+            from slam_toolkit_tpu.mapping.culling import cull_most_redundant
+            return cull_most_redundant(m, min_fraction=0.0,
+                                       protect_recent=cfg.local_ba
+                                       .window_keyframes)
+
         if cfg.tracker.method == "direct":
             from slam_toolkit_tpu.frontend.direct_tracker import track_direct
             from slam_toolkit_tpu.frontend.matching import projection_match
@@ -204,7 +217,8 @@ class SlamEngine:
 
         self._build, self._stereo = _build, _stereo
         self._track, self._insert, self._ba = _track, _insert, _ba
-        self._cull, self._snapshot = _cull, _snapshot
+        self._cull, self._cull_any, self._snapshot = _cull, _cull_any, \
+            _snapshot
         self._kf_img = None
         self._kf_ab = jnp.zeros((2,))
         # device-resident landmark snapshot + host mirrors of slow-moving
@@ -353,10 +367,14 @@ class SlamEngine:
         if self._n_kf_valid_host >= cap - 2:
             # near capacity: cull redundant keyframes (mapping/culling.py);
             # if nothing is redundant enough the map is genuinely full
-            for _ in range(4):
+            for attempt in range(4):
                 kf_T_pre = np.asarray(self.map.kf_T_cw)
                 self.map, slot = self._cull(self.map)
                 s = int(slot)
+                if s < 0:
+                    # nothing clears the redundancy bar: forced eviction
+                    self.map, slot = self._cull_any(self.map)
+                    s = int(slot)
                 if s < 0:
                     break
                 # trajectory entries anchored to the culled slot must move

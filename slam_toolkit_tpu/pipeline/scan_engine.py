@@ -329,8 +329,13 @@ class ChunkedSlamEngine:
             h.map, slot = h._cull(h.map)
             s = int(slot)
             if s < 0:
+                # forced eviction (see engine._make_keyframe): degrade,
+                # don't crash, when nothing clears the redundancy bar
+                h.map, slot = h._cull_any(h.map)
+                s = int(slot)
+            if s < 0:
                 raise RuntimeError(
-                    f"keyframe capacity {cap} exhausted (nothing redundant)")
+                    f"keyframe capacity {cap} exhausted (all protected)")
             h._refresh_kf_mirrors()
             new_anchor = h._latest_slot_host
             T_new_inv = np.linalg.inv(kf_T_pre[new_anchor])

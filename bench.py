@@ -96,11 +96,15 @@ def main():
 
     n_timed = sum(int(c.shape[0]) for c in chunks[warmup_chunks:])
     fps = n_timed / dt
-    ate = ate_rmse(eng.trajectory_refined(), gt, align=True)
+    from slam_toolkit_tpu.evaluation.traj import rpe
+    traj = eng.trajectory_refined()
+    ate = ate_rmse(traj, gt, align=True)
+    rpe_t, rpe_r = rpe(traj, gt)
     n_kf = eng._host.n_keyframes
     sys.stderr.write(
         f"[bench] {n_timed} frames in {dt:.2f}s, {fps:.1f} fps, "
-        f"ATE {ate:.3f} m, keyframes {n_kf}, "
+        f"ATE {ate:.3f} m, RPE {rpe_t:.4f} m / {rpe_r * 57.2958:.3f} deg, "
+        f"keyframes {n_kf}, "
         f"mappoints {int(eng.map.mp_valid.sum())}\n")
 
     print(json.dumps({

@@ -89,8 +89,13 @@ def make_frame_body(cfg: SlamConfig, cam: StereoCamera):
                                      cfg.map.mp_cull_grace_frames,
                                      cfg.map.mp_cull_min_obs)
             # local BA runs unconditionally: with <3 keyframes every
-            # window pose is gauge-fixed and the solve is a no-op
-            m3 = local_ba_step(m2, cam, cfg)
+            # window pose is gauge-fixed and the solve is a no-op.
+            # (SLAM_SCAN_NO_BA: profiling knob, scripts/profile_scan_*)
+            import os as _os
+            if _os.environ.get("SLAM_SCAN_NO_BA"):
+                m3 = m2
+            else:
+                m3 = local_ba_step(m2, cam, cfg)
             lm = gather_local_landmarks(
                 m3, cfg.map.track_landmarks, cfg.map.track_recent_kfs)
             return m3, lm, slot.astype(jnp.int32), m3.kf_T_cw[slot]

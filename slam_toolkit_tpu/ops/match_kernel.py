@@ -73,8 +73,13 @@ def _topk2_pallas(a_desc, b_desc, a_uv, b_xy, radius: float,
             p1, q1, p2, q2 = carry                      # best/second packed
             off = (t * bn).astype(jnp.int32)
             B = _unpack_pm1_tile(b_desc_ref[pl.ds(off, bn), :])  # (bn, 256)
+            # precision pinned: the +/-1 products are exact in bf16; a
+            # global jax_default_matmul_precision="highest" would stamp
+            # contract_precision<fp32> on bf16 operands, which Mosaic
+            # rejects at the 512-row tile ("Bad lhs type")
             dot = jax.lax.dot_general(
                 A, B, (((1,), (1,)), ((), ())),
+                precision=jax.lax.Precision.DEFAULT,
                 preferred_element_type=jnp.float32)      # (bm, bn)
             bx = b_xy_ref[pl.ds(off, bn), 0]
             by = b_xy_ref[pl.ds(off, bn), 1]
@@ -158,10 +163,13 @@ def _topk2_xla(a_desc, b_desc, a_uv, b_xy, radius: float):
 
 
 def _probe():
+    # probe at the PRODUCTION tile (bm=512): round 2 found a libtpu that
+    # accepted the 128-row tile but rejected the 512-row one, so a tiny
+    # probe would green-light a kernel that then crashes the engine
     import numpy as np
     rng = np.random.default_rng(0)
-    a = jnp.asarray(rng.integers(0, 2 ** 32, (128, 8)).astype(np.uint32))
-    uv = jnp.zeros((128, 2), jnp.float32)
+    a = jnp.asarray(rng.integers(0, 2 ** 32, (512, 8)).astype(np.uint32))
+    uv = jnp.zeros((512, 2), jnp.float32)
     jax.block_until_ready(_topk2_pallas(a, a, uv, uv, 50.0))
 
 

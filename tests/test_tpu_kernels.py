@@ -23,6 +23,9 @@ def test_tpu_kernels_production_shapes():
     env["XLA_FLAGS"] = " ".join(
         f for f in env.get("XLA_FLAGS", "").split()
         if "host_platform_device_count" not in f)
+    stashed = env.pop("SLAM_TEST_STASHED_POOL_IPS", None)
+    if stashed is not None:
+        env["PALLAS_AXON_POOL_IPS"] = stashed
     r = subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts",
                                       "tpu_kernel_check.py")],

@@ -105,7 +105,7 @@ class LocalBAConfig:
     # synthetic seeds: 512 matches or beats 1024 on ATE at ~2x less BA
     # work (the window's oldest/most-established landmarks constrain the
     # poses just as well as the full set).
-    max_points: int = 512
+    max_points: int = 2048
     max_obs_per_point: int = 8        # observations kept per point
     huber_delta: float = 2.4477468
     trim_sigma: float = 5.0           # hard outlier trim (whitened sigma)
@@ -185,6 +185,15 @@ class MapConfig:
     max_obs_per_frame: int = 2048     # = extractor.max_keypoints
     track_landmarks: int = 4096       # local-map slots fed to the tracker
     track_recent_kfs: int = 10        # recency window for the local map
+    # new-landmark suppression: a keypoint whose image cell (or any of
+    # its 8 neighbors) already contains a projected live landmark is
+    # "claimed" and never spawns a new landmark. Geometric analog of the
+    # reference's SetMappoitIfEmpty + duplicate keep-best fuse
+    # (ref src/pipeline.cpp:252-261, src/matcher.cpp:197-205): without
+    # it, every keyframe re-creates near-duplicates at keypoints whose
+    # landmark match failed the descriptor test, flooding the table
+    # (~30% of slots) and destabilizing the BA window. 0 disables.
+    claim_cell_px: float = 6.0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -230,7 +239,10 @@ class SlamConfig:
             local_ba=LocalBAConfig(window_keyframes=4, max_points=256),
             map=MapConfig(max_keyframes=128, max_mappoints=4096,
                           max_obs_per_frame=256, track_landmarks=512,
-                          track_recent_kfs=6),
+                          track_recent_kfs=6,
+                          # claim radius scales with image width
+                          # (6px on 1241px KITTI ~ 0.6px here)
+                          claim_cell_px=1.0),
             # search radii scale with image width (reference's 50px/10px
             # are for 1241px-wide KITTI frames)
             matcher=MatcherConfig(projection_radius=10.0, loop_radius=4.0),

@@ -107,26 +107,76 @@ def allocate_slots(free: jnp.ndarray, want: jnp.ndarray,
     """First-free-slot allocation, shape-static.
 
     free: (N,) bool availability; want: (num,) bool which requests are
-    real. Returns (num,) int32 slot ids (arbitrary-but-unused for masked
-    requests). Allocation = the i-th real request gets the i-th free slot,
-    found by searchsorted on the monotone cumulative free count (an
-    argsort over the 16K-slot table cost ~1 ms per keyframe event on a
-    v5e; this is two cheap passes)."""
+    real. Returns (num,) int32 slot ids; masked (or overflow) requests
+    get the SENTINEL N, so callers can scatter with mode="drop" and
+    never collide with a real allocation. Allocation = the i-th real
+    request gets the i-th free slot, via one scatter building the
+    rank->slot table (a searchsorted here lowered to a 15-step serial
+    while loop, ~0.2 ms per keyframe event on a v5e; an argsort, ~1 ms)."""
+    n = free.shape[0]
     csum = jnp.cumsum(free.astype(jnp.int32))            # (N,) monotone
-    rank = jnp.cumsum(want.astype(jnp.int32))            # 1-based rank
-    slots = jnp.searchsorted(csum, rank, side='left')
-    return jnp.clip(slots, 0, free.shape[0] - 1).astype(jnp.int32)
+    # slot_of_rank[r] = index of the (r+1)-th free slot
+    slot_of_rank = jnp.zeros((n,), jnp.int32).at[
+        jnp.where(free, csum - 1, n)].set(
+        jnp.arange(n, dtype=jnp.int32), mode="drop")
+    rank = jnp.cumsum(want.astype(jnp.int32)) - 1        # 0-based rank
+    slots = slot_of_rank[jnp.clip(rank, 0, n - 1)]
+    real = want & (rank < csum[-1])
+    return jnp.where(real, slots, n).astype(jnp.int32)
+
+
+def claimed_keypoints(m: MapState, frame: FrameState, T_cw: jnp.ndarray,
+                      cfg: SlamConfig) -> jnp.ndarray:
+    """(K,) bool — keypoints whose image region a live landmark already owns.
+
+    Rasterize every valid landmark's projection into a cell grid
+    (cell = claim_cell_px), dilate 3x3, and test each keypoint's cell:
+    effective suppression radius is cell..2.8*cell px. Projection is
+    pure pinhole (distortion ignored — a few px at image corners, well
+    inside the dilation slack). O(M + K + grid) instead of an (M, K)
+    distance matrix."""
+    cell = cfg.map.claim_cell_px
+    K = frame.feats.xy.shape[0]
+    if cell <= 0:
+        return jnp.zeros((K,), bool)
+    Xc = se3.transform(T_cw, mappoint_positions(m))
+    z = jnp.maximum(Xc[:, 2], 0.05)
+    u = cfg.camera.fx * Xc[:, 0] / z + cfg.camera.cx
+    v = cfg.camera.fy * Xc[:, 1] / z + cfg.camera.cy
+    gw = int(cfg.camera.width / cell) + 3
+    gh = int(cfg.camera.height / cell) + 3
+    cu = jnp.floor(u / cell).astype(jnp.int32) + 1
+    cv = jnp.floor(v / cell).astype(jnp.int32) + 1
+    inb = (m.mp_valid & (Xc[:, 2] > 0.05) &
+           (cu >= 0) & (cu < gw) & (cv >= 0) & (cv < gh))
+    flat = jnp.where(inb, cv * gw + cu, gh * gw)
+    grid = jnp.zeros((gh * gw,), bool).at[flat].set(
+        True, mode="drop").reshape(gh, gw)
+    dil = grid
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy or dx:
+                dil = dil | jnp.roll(jnp.roll(grid, dy, 0), dx, 1)
+    ku = jnp.clip(jnp.floor(frame.feats.xy[:, 0] / cell).astype(jnp.int32)
+                  + 1, 0, gw - 1)
+    kv = jnp.clip(jnp.floor(frame.feats.xy[:, 1] / cell).astype(jnp.int32)
+                  + 1, 0, gh - 1)
+    return dil[kv, ku]
 
 
 def insert_keyframe(m: MapState, frame: FrameState, T_cw: jnp.ndarray,
                     frame_id: jnp.ndarray, mp_ids: jnp.ndarray,
                     mp_kpt: jnp.ndarray, mp_tracked: jnp.ndarray,
                     cfg: SlamConfig,
-                    quality: jnp.ndarray = None) -> Tuple[MapState, jnp.ndarray]:
+                    quality: jnp.ndarray = None
+                    ) -> Tuple[MapState, jnp.ndarray]:
     """Insert `frame` as a keyframe and supply new mappoints.
 
     mp_ids/mp_kpt/mp_tracked: the tracking result — landmark id (into the
     mappoint table), its matched keypoint index, and the inlier mask.
+    New mappoints are supplied only at stereo keypoints that are neither
+    matched to a landmark nor claimed by a projected one
+    (claimed_keypoints above).
     Equivalent to Frame::SetKeyframe + SupplyMappoints + AddFrame
     (ref src/frame.cpp:444-463, :235-255; src/pipeline_map.cpp:131-149).
 
@@ -143,36 +193,32 @@ def insert_keyframe(m: MapState, frame: FrameState, T_cw: jnp.ndarray,
 
     # --- supply new mappoints at stereo keypoints with no landmark ---
     has_mp = obs_row >= 0
-    new_mask = frame.feats.valid & frame.has_stereo & ~has_mp
-    # never allocate past capacity: overflow requests would map onto
-    # OCCUPIED slots and silently overwrite live landmarks
-    nfree = jnp.sum(~m.mp_valid)
-    new_mask = new_mask & (jnp.cumsum(new_mask) - 1 < nfree)
+    claimed = claimed_keypoints(m, frame, T_cw, cfg)
+    new_mask = frame.feats.valid & frame.has_stereo & ~has_mp & ~claimed
+    # allocate_slots never allocates past capacity (overflow requests
+    # would map onto OCCUPIED slots and silently overwrite live
+    # landmarks): masked/overflow requests get the sentinel M, dropped
+    # by every scatter below
     new_slots = allocate_slots(~m.mp_valid, new_mask, K)
+    allocated = new_slots < m.mp_valid.shape[0]
     kpt_idx = jnp.arange(K, dtype=jnp.int32)
     invd_new = 1.0 / jnp.maximum(frame.depth, 1e-3)
 
-    mp_ref_kf = m.mp_ref_kf.at[new_slots].set(
-        jnp.where(new_mask, slot, m.mp_ref_kf[new_slots]))
-    mp_kpt_arr = m.mp_kpt.at[new_slots].set(
-        jnp.where(new_mask, kpt_idx, m.mp_kpt[new_slots]))
-    mp_invd = m.mp_invd.at[new_slots].set(
-        jnp.where(new_mask, invd_new, m.mp_invd[new_slots]))
-    mp_desc = m.mp_desc.at[new_slots].set(
-        jnp.where(new_mask[:, None], frame.feats.desc, m.mp_desc[new_slots]))
-    mp_valid = m.mp_valid.at[new_slots].set(
-        jnp.where(new_mask, True, m.mp_valid[new_slots]))
+    mp_ref_kf = m.mp_ref_kf.at[new_slots].set(slot, mode="drop")
+    mp_kpt_arr = m.mp_kpt.at[new_slots].set(kpt_idx, mode="drop")
+    mp_invd = m.mp_invd.at[new_slots].set(invd_new, mode="drop")
+    mp_desc = m.mp_desc.at[new_slots].set(frame.feats.desc, mode="drop")
+    mp_valid = m.mp_valid.at[new_slots].set(True, mode="drop")
 
     # register the new mappoints as observations of this KF
-    obs_row = jnp.where(new_mask, new_slots, obs_row)
+    obs_row = jnp.where(allocated, new_slots, obs_row)
 
     # bump observation counts: tracked landmarks +1, new landmarks = 1
     tracked_ids = jnp.where(mp_tracked, mp_ids,
                             m.mp_obs_count.shape[0])  # overflow slot
     obs_count = jnp.concatenate([m.mp_obs_count, jnp.zeros(1, jnp.int32)])
     obs_count = obs_count.at[tracked_ids].add(1)[:-1]
-    obs_count = obs_count.at[new_slots].set(
-        jnp.where(new_mask, 1, obs_count[new_slots]))
+    obs_count = obs_count.at[new_slots].set(1, mode="drop")
 
     new_m = m._replace(
         kf_T_cw=m.kf_T_cw.at[slot].set(T_cw),
@@ -199,6 +245,33 @@ def insert_keyframe(m: MapState, frame: FrameState, T_cw: jnp.ndarray,
     return new_m, slot
 
 
+def unique_prioritized(ids: jnp.ndarray, num_out: int,
+                       M: int) -> jnp.ndarray:
+    """First `num_out` DISTINCT ids in order of first appearance.
+
+    ids: (N,) int32 in [-1, M); negative entries are ignored. Returns
+    (num_out,) int32 with sentinel M in unfilled slots. Priority is the
+    position of an id's FIRST occurrence, so callers that lay ids out
+    newest-first keep the newest entries when truncating — an id-sorted
+    truncation here silently dropped the NEWEST landmarks whenever the
+    window held more than num_out uniques (at KITTI density ~6.5k
+    uniques vs 4096 slots, costing ~30% of the latest keyframe's
+    landmarks and 4x ATE). Two packed-key sorts; requires
+    (M + 1) * (N + 1) < 2^31.
+    """
+    n = ids.shape[0]
+    assert (M + 1) * (n + 1) < 2 ** 31, "packed sort keys overflow int32"
+    pos = jnp.arange(n, dtype=jnp.int32)
+    key = jnp.where(ids >= 0, ids * n + pos, M * n)
+    skey = jnp.sort(key)
+    sid = skey // n
+    spos = skey - sid * n
+    first = jnp.concatenate([jnp.ones(1, bool),
+                             sid[1:] != sid[:-1]]) & (sid < M)
+    pack2 = jnp.where(first, spos * (M + 1) + sid, n * (M + 1) + M)
+    return (jnp.sort(pack2)[:num_out] % (M + 1)).astype(jnp.int32)
+
+
 def gather_local_landmarks(m: MapState, num_out: int,
                            recent: int = 10):
     """Mappoints observed by the `recent` most recently inserted keyframes.
@@ -207,20 +280,18 @@ def gather_local_landmarks(m: MapState, num_out: int,
     Replaces the covisibility walk + latest-frames fuse of
     ref src/pipeline.cpp:167-177 with a recency window (equivalent for
     odometry; loop-revisit recall comes from the loop-closing path).
+    Newest keyframes win when the window exceeds num_out uniques.
     """
     F = m.kf_valid.shape[0]
     # rank keyframes by insertion recency: frame_id, invalid -> -1
     fid = jnp.where(m.kf_valid, m.kf_frame_id, -1)
-    _, recent_slots = jax.lax.top_k(fid, recent)
-    ids = m.kf_obs[recent_slots].reshape(-1)            # (recent*K,)
-    ids = jnp.where(ids >= 0, ids, m.mp_valid.shape[0])
-    # dedupe via sort; invalid sentinel sorts last
-    sorted_ids = jnp.sort(ids)
-    first = jnp.concatenate([jnp.ones(1, bool),
-                             sorted_ids[1:] != sorted_ids[:-1]])
-    uniq = jnp.where(first & (sorted_ids < m.mp_valid.shape[0]),
-                     sorted_ids, m.mp_valid.shape[0])
-    uniq = jnp.sort(uniq)[:num_out].astype(jnp.int32)
+    _, recent_slots = jax.lax.top_k(fid, recent)        # newest first
+    # lay ids out OLDEST-first: when the window holds more than num_out
+    # uniques, keep the longest-tracked (BA-refined) landmarks and drop
+    # the newest single-observation ones — prioritizing newest here
+    # fills the tracker's local map with never-optimized stereo inits
+    ids = m.kf_obs[recent_slots[::-1]].reshape(-1)      # (recent*K,)
+    uniq = unique_prioritized(ids, num_out, m.mp_valid.shape[0])
     ok = uniq < m.mp_valid.shape[0]
     safe = jnp.where(ok, uniq, 0)
     Xw = mappoint_positions_at(m, safe)

@@ -62,8 +62,29 @@ def make_frame_body(cfg: SlamConfig, cam: StereoCamera):
     the batched cond lowers to masked execution of both branches —
     the honest SPMD cost of divergent control flow)."""
 
+    import os as _os
+    # trace-time profiling knobs (scripts/profile_bench_stages.py):
+    # SLAM_SCAN_STAGE=extract  -> extraction only (response sum packed so
+    #                             XLA cannot dead-code the extractor)
+    # SLAM_SCAN_STAGE=track    -> extraction + tracking, KF branch skipped
+    # unset/full               -> the real engine body
+    # SLAM_SCAN_SKIP=a,b       -> skip KF-branch components (stereo,
+    #                             insert, cull, snapshot) for cost splits
+    # SLAM_SCAN_FORCE_KF=1     -> keyframe every frame (fixes the KF rate
+    #                             across skip variants so deltas are
+    #                             per-event costs, not workload shifts)
+    _stage = _os.environ.get("SLAM_SCAN_STAGE", "full")
+    _skip = set(filter(None,
+                       _os.environ.get("SLAM_SCAN_SKIP", "").split(",")))
+    _force_kf = bool(_os.environ.get("SLAM_SCAN_FORCE_KF"))
+
     def frame_body(carry: ChunkCarry, xs):
         frame, left, right = xs
+        if _stage == "extract":
+            packed = jnp.zeros((PACK_WIDTH,), jnp.float32).at[0].set(
+                jnp.sum(frame.feats.response) + jnp.sum(left) * 0.0
+                + jnp.sum(right) * 0.0)
+            return carry, packed
         T_pred = se3.compose(carry.velocity, carry.T_cw)
         res = track_pose(frame, carry.lm_Xw, carry.lm_desc, carry.lm_valid,
                          T_pred, cam, cfg)
@@ -73,6 +94,8 @@ def make_frame_body(cfg: SlamConfig, cam: StereoCamera):
             matched_xy, res.mp_inlier, cfg.camera.width, cfg.camera.height,
             cfg.keyframe) | ~res.ok |
             (n_inl < cfg.keyframe.decay_ratio * carry.inlier_peak))
+        if _force_kf:
+            needs = jnp.bool_(True)
         peak_new = jnp.where(needs, 0.0,
                              jnp.maximum(carry.inlier_peak, n_inl))
         T_new = jnp.where(res.ok, res.T_cw, T_pred)
@@ -81,23 +104,31 @@ def make_frame_body(cfg: SlamConfig, cam: StereoCamera):
         def kf_branch(op):
             from slam_toolkit_tpu.mapping.culling import cull_weak_mappoints
             m, fr = op
-            fr2 = add_stereo(fr, left, right, cam, cfg)
-            m2, slot = insert_keyframe(m, fr2, T_new, carry.frame_id,
-                                       carry.lm_ids, res.mp_kpt,
-                                       res.mp_inlier, cfg)
-            m2 = cull_weak_mappoints(m2, carry.frame_id,
-                                     cfg.map.mp_cull_grace_frames,
-                                     cfg.map.mp_cull_min_obs)
+            fr2 = fr if "stereo" in _skip else \
+                add_stereo(fr, left, right, cam, cfg)
+            if "insert" in _skip:
+                m2, slot = m, carry.latest_slot
+            else:
+                m2, slot = insert_keyframe(m, fr2, T_new, carry.frame_id,
+                                           carry.lm_ids, res.mp_kpt,
+                                           res.mp_inlier, cfg)
+            if "cull" not in _skip:
+                m2 = cull_weak_mappoints(m2, carry.frame_id,
+                                         cfg.map.mp_cull_grace_frames,
+                                         cfg.map.mp_cull_min_obs)
             # local BA runs unconditionally: with <3 keyframes every
             # window pose is gauge-fixed and the solve is a no-op.
             # (SLAM_SCAN_NO_BA: profiling knob, scripts/profile_scan_*)
-            import os as _os
             if _os.environ.get("SLAM_SCAN_NO_BA"):
                 m3 = m2
             else:
                 m3 = local_ba_step(m2, cam, cfg)
-            lm = gather_local_landmarks(
-                m3, cfg.map.track_landmarks, cfg.map.track_recent_kfs)
+            if "snapshot" in _skip:
+                lm = (carry.lm_Xw, carry.lm_desc, carry.lm_ids,
+                      carry.lm_valid)
+            else:
+                lm = gather_local_landmarks(
+                    m3, cfg.map.track_landmarks, cfg.map.track_recent_kfs)
             return m3, lm, slot.astype(jnp.int32), m3.kf_T_cw[slot]
 
         def no_branch(op):
@@ -105,8 +136,11 @@ def make_frame_body(cfg: SlamConfig, cam: StereoCamera):
             lm = (carry.lm_Xw, carry.lm_desc, carry.lm_ids, carry.lm_valid)
             return m, lm, carry.latest_slot, carry.latest_T
 
-        m_new, lm, slot, latest_T = jax.lax.cond(
-            needs, kf_branch, no_branch, (carry.m, frame))
+        if _stage == "track":
+            m_new, lm, slot, latest_T = no_branch((carry.m, frame))
+        else:
+            m_new, lm, slot, latest_T = jax.lax.cond(
+                needs, kf_branch, no_branch, (carry.m, frame))
         # the keyframe pose may have moved in BA; report the map's version
         T_out = jnp.where(needs, latest_T, T_new)
         T_rel = se3.compose(T_out, se3.inv(latest_T))

@@ -37,15 +37,15 @@ def select_window(m: MapState, W: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
 def select_points(m: MapState, window: jnp.ndarray, P: int):
     """Up to P distinct mappoints observed by the window keyframes.
 
-    Window comes newest-first; we lay ids out OLDEST-first so that when
-    the window holds more than P uniques, BA keeps the longest-tracked
-    landmarks — the well-constrained ones (multi-view, near the gauge
-    keyframe). Prioritizing newest-first here measurably destabilizes
-    the solve (single-observation points dominate the 512 slots)."""
+    When the window holds more than P uniques, BA keeps ESTABLISHED
+    landmarks (obs_count >= 2) — the well-constrained ones (multi-view,
+    near the gauge keyframe). Prioritizing newest-first here measurably
+    destabilizes the solve (single-observation points dominate the
+    slots)."""
     from slam_toolkit_tpu.mapping.map_state import unique_prioritized
     M = m.mp_valid.shape[0]
-    ids = m.kf_obs[window[::-1]].reshape(-1)
-    uniq = unique_prioritized(ids, P, M)
+    ids = m.kf_obs[window].reshape(-1)
+    uniq = unique_prioritized(ids, P, m)
     ok = uniq < M
     safe = jnp.where(ok, uniq, 0)
     return safe, ok & m.mp_valid[safe]

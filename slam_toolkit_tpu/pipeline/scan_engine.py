@@ -170,7 +170,14 @@ def make_chunk_fn(cfg: SlamConfig, cam: StereoCamera):
 
     frame_body = make_frame_body(cfg, cam)
 
-    @jax.jit
+    from functools import partial
+
+    # donate the carry: without donation every chunk call must preserve
+    # its input buffers, so the first in-place update of each map array
+    # inside the scan forces a full copy (one copy of kf_xy/kf_desc/
+    # kf_obs/mp_* per chunk — tens of MB of HBM traffic and several
+    # copy-start stalls per dispatch, visible in scripts/trace_chunk.py)
+    @partial(jax.jit, donate_argnums=0)
     def chunk(carry: ChunkCarry, images: jnp.ndarray):
         # NOTE: batching extraction over the chunk with vmap before the
         # scan was tried and is SLOWER (136 -> 119 fps): materializing
@@ -197,7 +204,11 @@ class ChunkedSlamEngine:
         self._chunk = make_chunk_fn(self.cfg, self.cam)
         # device-resident carry reused across chunks; None whenever host
         # machinery (bootstrap / loop closure / culling) mutated the map,
-        # forcing a rebuild from host mirrors
+        # forcing a rebuild from host mirrors. The chunk program DONATES
+        # its input carry (avoids per-chunk copies of the map arrays), so
+        # this cache — and the host mirrors synced right after each
+        # dispatch — are the ONLY live device references; pending chunks
+        # hold packed outputs, never carries.
         self._carry_cache: Optional[ChunkCarry] = None
         # in-flight chunk queue (oldest first). Depth 2: dispatching two
         # chunks ahead of the readback hides the host<->device round-trip
@@ -209,7 +220,9 @@ class ChunkedSlamEngine:
         self._queue_depth = 2
         self._replay_needed = False                # loop closure hit mid-flight
         self.n_replays = 0                         # closures that landed while
-        #                                            chunks were in flight
+        #                                            chunks were in flight and
+        #                                            took the drain-and-reseed
+        #                                            path (_drain_after_closure)
         # reuse the classic engine for bootstrap + loop/cull machinery
         from slam_toolkit_tpu.pipeline.engine import SlamEngine
         self._host = SlamEngine(self.cfg, self.cam, vocab=vocab)
@@ -264,34 +277,61 @@ class ChunkedSlamEngine:
         self._ensure_headroom()
         imgs = images if isinstance(images, jnp.ndarray) \
             else jnp.asarray(images, jnp.float32)
-        carry_in = self._carry_cache if self._carry_cache is not None \
-            else self._carry()
-        carry, packed = self._chunk(carry_in, imgs)
-        self._carry_cache = carry
-        self._pending.append({"carry": carry, "packed": packed,
-                              "imgs": imgs, "t0": t0})
+        self._dispatch(imgs, t0)
 
         rows = []
         while len(self._pending) > self._queue_depth:
             rows.append(self._fold_one())
         if self._replay_needed:
-            # a loop closure just rewrote the map the in-flight chunks
-            # were built on; recompute them from the corrected state
-            self._replay_needed = False
-            self.n_replays += 1
-            replay = [p["imgs"] for p in self._pending]
-            self._pending = []
-            self._carry_cache = None
-            for imgs_r in replay:
-                carry_in = self._carry_cache if self._carry_cache \
-                    is not None else self._carry()
-                carry, packed = self._chunk(carry_in, imgs_r)
-                self._carry_cache = carry
-                self._pending.append({"carry": carry, "packed": packed,
-                                      "imgs": imgs_r,
-                                      "t0": time.perf_counter()})
+            rows.extend(self._drain_after_closure())
         return np.concatenate(rows, axis=0) if rows else \
             np.zeros((0, PACK_WIDTH), np.float32)
+
+    def _drain_after_closure(self) -> List[np.ndarray]:
+        """A loop closure landed while chunks were in flight.
+
+        The closure's pose graph already corrected EVERY keyframe in the
+        map — including the ones the in-flight chunks inserted (host
+        mirrors track the newest carry, so the closure saw them). The
+        in-flight packed outputs therefore stay valid relative to their
+        keyframe anchors: fold them (trajectory_refined re-derives global
+        poses from the corrected keyframes) instead of recomputing.
+        What IS stale is the tracking head: re-seed the carry from the
+        corrected map and map the current pose through the correction via
+        its anchor. Tracking lag across a closure is exactly the
+        staleness the reference's two-thread design has
+        (ref src/pipeline.cpp:98-141 mapping thread vs tracking thread).
+        """
+        self._replay_needed = False
+        self.n_replays += 1
+        rows = []
+        while self._pending:
+            rows.append(self._fold_one())
+            self._replay_needed = False      # nested closures drain too
+        h = self._host
+        if self._traj_anchor:
+            slot, rel = self._traj_anchor[-1]
+            h.T_cw = jnp.asarray(
+                rel @ np.asarray(h.map.kf_T_cw[slot]), jnp.float32)
+        self._carry_cache = None             # next dispatch re-seeds
+        return rows
+
+    def _dispatch(self, imgs, t0: float) -> None:
+        """Run one chunk and re-point every host device-state mirror at
+        the output carry — the input carry's buffers are DONATED to the
+        call and dead the moment it is issued."""
+        carry_in = self._carry_cache if self._carry_cache is not None \
+            else self._carry()
+        carry, packed = self._chunk(carry_in, imgs)
+        self._carry_cache = carry
+        h = self._host
+        h.map = carry.m
+        h.T_cw = carry.T_cw
+        h.velocity = carry.velocity
+        h._lm = (carry.lm_Xw, carry.lm_desc, carry.lm_ids, carry.lm_valid)
+        h._latest_kf_T_dev = carry.latest_T
+        self._pending.append({"packed": packed, "t0": t0,
+                              "n": int(imgs.shape[0])})
 
     def flush(self) -> np.ndarray:
         """Drain every in-flight chunk (no-op when nothing is pending)."""
@@ -299,40 +339,24 @@ class ChunkedSlamEngine:
         while self._pending:
             rows.append(self._fold_one())
             if self._replay_needed:
-                # stale chunks were built on a pre-closure map: rerun them
-                self._replay_needed = False
-                replay = [p["imgs"] for p in self._pending]
-                self._pending = []
-                self._carry_cache = None
-                import time
-                for imgs_r in replay:
-                    carry_in = self._carry_cache if self._carry_cache \
-                        is not None else self._carry()
-                    carry, packed = self._chunk(carry_in, imgs_r)
-                    self._carry_cache = carry
-                    self._pending.append({"carry": carry, "packed": packed,
-                                          "imgs": imgs_r,
-                                          "t0": time.perf_counter()})
+                rows.extend(self._drain_after_closure())
         return np.concatenate(rows, axis=0) if rows else \
             np.zeros((0, PACK_WIDTH), np.float32)
 
     def _fold_one(self) -> np.ndarray:
         """Fold the oldest pending chunk's results into host state — all
         host arithmetic; an extra device sync here would pay the relay
-        round-trip a second time."""
+        round-trip a second time. Device-state mirrors (map, poses,
+        landmark snapshot) were already re-pointed at dispatch time (the
+        carry is donated chunk-to-chunk); this folds the packed PER-FRAME
+        outputs only."""
         import time
         if not self._pending:
             return np.zeros((0, PACK_WIDTH), np.float32)
         p = self._pending.pop(0)
-        carry = p["carry"]
         packed_np = np.asarray(p["packed"])       # ONE readback per chunk
 
         h = self._host
-        h.map = carry.m
-        h.T_cw = carry.T_cw
-        h.velocity = carry.velocity
-        h._lm = (carry.lm_Xw, carry.lm_desc, carry.lm_ids, carry.lm_valid)
-        h._latest_kf_T_dev = carry.latest_T
         h.frame_id += len(packed_np)
         n_new_kf = int(packed_np[:, 34].sum())
         h.n_keyframes += n_new_kf

@@ -52,15 +52,20 @@ def main():
         else eng._carry()
     work = chunks[3:]
 
+    def fresh_carry():
+        # the chunk fn DONATES its input carry; every pass needs its own
+        # deep copy or the second rep reads dead buffers
+        return jax.tree.map(jnp.copy, carry0)
+
     def bench_fn(fn, reps=3):
         # compile + one untimed pass
-        c = carry0
+        c = fresh_carry()
         for imgs in work:
             c, p = fn(c, imgs)
         jax.block_until_ready(p)
         best = float("inf")
         for _ in range(reps):
-            c = carry0
+            c = fresh_carry()
             t0 = time.perf_counter()
             for imgs in work:
                 c, p = fn(c, imgs)

@@ -38,6 +38,14 @@ class ExtractorConfig:
     # distinctive because IC-angle noise decorrelates steered patterns;
     # steering stays available for rotation-heavy rigs.
     steer_rotation: bool = False
+    # dtype of the blur -> patch-gather -> BRIEF-compare path. bfloat16
+    # halves the descriptor path's HBM footprint but measured NO fps
+    # gain on a v5e (the patch gathers are VMEM/issue-bound, not
+    # HBM-bound, and Mosaic's 32-bit-only dynamic_rotate forces an
+    # in-kernel upcast) while near-tie comparison flips cost ~0.05 m
+    # ATE on the KITTI-scale bench. Keep float32; the bf16 path stays
+    # available for HBM-constrained deployments.
+    descriptor_dtype: str = "float32"
 
     @property
     def max_keypoints(self) -> int:
@@ -101,11 +109,13 @@ class LocalBAConfig:
 
     num_iterations: int = 10
     window_keyframes: int = 8         # free + fixed poses in the window
-    # mappoint slots in one BA problem. Measured on two KITTI-scale
-    # synthetic seeds: 512 matches or beats 1024 on ATE at ~2x less BA
-    # work (the window's oldest/most-established landmarks constrain the
-    # poses just as well as the full set).
-    max_points: int = 2048
+    # mappoint slots in one BA problem. Under claim-grid suppression
+    # (map.claim_cell_px) landmarks are never re-created, so BA must
+    # cover essentially ALL active window landmarks: 512 slots left the
+    # un-refined remainder drifting at ~0.01 m/frame (measured); 1024
+    # covers the ~4.5k-point claim-regime map's window at the same ATE
+    # as 2048 and ~6 fps more.
+    max_points: int = 1024
     max_obs_per_point: int = 8        # observations kept per point
     huber_delta: float = 2.4477468
     trim_sigma: float = 5.0           # hard outlier trim (whitened sigma)
@@ -129,10 +139,12 @@ class KeyframeConfig:
     # reference's pure grid rule under-fires when the map is dense
     # (a dense stereo supplier keeps every cell above min_per_cell while
     # drift accumulates).
-    # measured sweep (KITTI-scale synthetic, 160 frames): 0.3 -> 320 fps
-    # / 0.272 m; 0.4 -> 298 fps / 0.207 m; 0.45 -> 283 / 0.198;
-    # 0.6 -> 258 / 0.252. 0.4 balances both.
-    decay_ratio: float = 0.4
+    # measured sweep (KITTI-scale synthetic, 160 frames, claim-grid
+    # map): 0.2 -> 472 fps / 0.216 m / RPE 0.030; 0.25 -> 0.166 m but
+    # RPE 0.031; 0.3 -> 442 fps / 0.171 m / RPE 0.022; 0.35 -> 422 /
+    # 0.215; 0.4 -> 403 / 0.197 / 0.018. 0.3 is the knee: both the
+    # fps and the accuracy curve favor it.
+    decay_ratio: float = 0.3
 
 
 @dataclasses.dataclass(frozen=True)
@@ -183,7 +195,7 @@ class MapConfig:
     mp_cull_grace_frames: int = 12
     recent_frames: int = 16           # non-keyframe pose history kept on device
     max_obs_per_frame: int = 2048     # = extractor.max_keypoints
-    track_landmarks: int = 4096       # local-map slots fed to the tracker
+    track_landmarks: int = 3072       # local-map slots fed to the tracker
     track_recent_kfs: int = 10        # recency window for the local map
     # new-landmark suppression: a keypoint whose image cell (or any of
     # its 8 neighbors) already contains a projected live landmark is
@@ -247,5 +259,8 @@ class SlamConfig:
             # are for 1241px-wide KITTI frames)
             matcher=MatcherConfig(projection_radius=10.0, loop_radius=4.0),
             tracker=TrackerConfig(reprojection_px=4.0),
+            # production decay_ratio (0.3) is tuned on the KITTI-scale
+            # bench; the 10-frame tiny test worlds were calibrated at 0.4
+            keyframe=KeyframeConfig(decay_ratio=0.4),
             loop=LoopConfig(vocab_k=4, vocab_levels=3, bow_top_words=64),
         )

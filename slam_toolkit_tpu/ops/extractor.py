@@ -61,6 +61,11 @@ def extract(image: jnp.ndarray, cfg: ExtractorConfig) -> FrameFeatures:
         raw = eff[ix[:, 1], ix[:, 0]]
         resp = jnp.where(valid, jnp.where(raw >= 1e4, raw - 1e4, raw), 0.0)
         blurred = pyramid.gaussian_blur(img_l, 7, cfg.blur_sigma)
+        if cfg.descriptor_dtype == "bfloat16":
+            # descriptors compare SMOOTHED intensities at distinct
+            # offsets; bf16's ~1-LSB rounding at 255 scale only flips
+            # pairs that were within noise anyway (bench-validated)
+            blurred = blurred.astype(jnp.bfloat16)
         if cfg.steer_rotation:
             angle = brief.ic_angle(img_l, xy)
             desc = brief.compute_descriptors(blurred, xy, angle)

@@ -129,7 +129,13 @@ def detect_dual(image: jnp.ndarray, thr_hi: float, thr_lo: float,
                 border: int) -> jnp.ndarray:
     """One-pass dual-threshold FAST; exactly equivalent to
     where(detect(hi) > 0, detect(lo) + 1e4, detect(lo)) — NMS runs per
-    threshold, then high-threshold survivors get the rank boost."""
+    threshold, then high-threshold survivors get the rank boost.
+
+    Tried and rejected: collapsing to ONE shared NMS (boost hi-mask
+    corners on the lo response, then a single nms3x3) saves ~18 fps at
+    KITTI scale but lets strong corners suppress adjacent hi-threshold
+    survivors that the per-threshold NMS keeps; measured 3-seed ATE mean
+    0.222 m vs 0.176 m here — a 26% accuracy cost for 4% speed."""
     resp_hi, resp_lo = dual_response(image, thr_hi, thr_lo)
     hi = nms3x3(resp_hi)
     lo = nms3x3(resp_lo)

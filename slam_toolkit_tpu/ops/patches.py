@@ -52,10 +52,12 @@ def _gather_blocks_pallas(img: jnp.ndarray, ys: jnp.ndarray,
     from jax.experimental.pallas import tpu as pltpu
 
     h, w = img.shape
-    wh = _rup(bh + 7, 8)          # super-window extent (sublanes)
+    # native sublane tile: 8 rows for f32, 16 for bf16 (packed pairs)
+    su = 16 if img.dtype == jnp.bfloat16 else 8
+    wh = _rup(bh + su - 1, su)    # super-window extent (sublanes)
     ww = _rup(bw + 127, 128)      # super-window extent (lanes)
     # pad so the largest aligned corner still fits its super-window
-    hp = max(h, ((h - bh) // 8) * 8 + wh)
+    hp = max(h, ((h - bh) // su) * su + wh)
     wp = max(w, ((w - bw) // 128) * 128 + ww)
     if (hp, wp) != (h, w):
         img = jnp.pad(img, ((0, hp - h), (0, wp - w)))
@@ -73,14 +75,18 @@ def _gather_blocks_pallas(img: jnp.ndarray, ys: jnp.ndarray,
         def body(j, c):
             kk = i * _BK + j
             y, x = ys_ref[kk], xs_ref[kk]
-            ya = pl.multiple_of((y // 8) * 8, 8)
+            ya = pl.multiple_of((y // su) * su, su)
             xa = pl.multiple_of((x // 128) * 128, 128)
             win = img_ref[pl.ds(ya, wh), pl.ds(xa, ww)]
+            # Mosaic's dynamic_rotate is 32-bit only: upcast bf16
+            # windows for the rolls (VMEM-local; HBM stays bf16)
+            if win.dtype == jnp.bfloat16:
+                win = win.astype(jnp.float32)
             # dynamic NEGATIVE shifts miscompile on Mosaic (v5e, jax 0.9):
             # roll left by r == roll right by (size - r) % size
             win = pltpu.roll(win, (wh - (y - ya)) % wh, 0)
             win = pltpu.roll(win, (ww - (x - xa)) % ww, 1)
-            out_ref[j] = win[:bh, :bw]
+            out_ref[j] = win[:bh, :bw].astype(out_ref.dtype)
             return c
 
         jax.lax.fori_loop(0, _BK, body, 0)
@@ -111,12 +117,21 @@ def gather_blocks(img: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray,
     ys = ys.astype(jnp.int32)
     xs = xs.astype(jnp.int32)
     from slam_toolkit_tpu.utils.kernel_probe import use_pallas
-    if use_pallas("patch_gather", _probe):
+    if img.dtype == jnp.bfloat16:
+        if use_pallas("patch_gather_bf16", _probe_bf16):
+            return _gather_blocks_pallas(img, ys, xs, bh, bw)
+    elif use_pallas("patch_gather", _probe):
         return _gather_blocks_pallas(img, ys, xs, bh, bw)
     return _gather_blocks_fallback(img, ys, xs, bh, bw)
 
 
 def _probe():
     img = jnp.zeros((64, 256), jnp.float32)
+    idx = jnp.zeros((8,), jnp.int32)
+    jax.block_until_ready(_gather_blocks_pallas(img, idx, idx, 37, 37))
+
+
+def _probe_bf16():
+    img = jnp.zeros((64, 256), jnp.bfloat16)
     idx = jnp.zeros((8,), jnp.int32)
     jax.block_until_ready(_gather_blocks_pallas(img, idx, idx, 37, 37))

@@ -126,7 +126,8 @@ def allocate_slots(free: jnp.ndarray, want: jnp.ndarray,
 
 
 def claimed_keypoints(m: MapState, frame: FrameState, T_cw: jnp.ndarray,
-                      cfg: SlamConfig) -> jnp.ndarray:
+                      cfg: SlamConfig, points_w: jnp.ndarray = None,
+                      points_valid: jnp.ndarray = None) -> jnp.ndarray:
     """(K,) bool — keypoints whose image region a live landmark already owns.
 
     Rasterize every valid landmark's projection into a cell grid
@@ -134,12 +135,24 @@ def claimed_keypoints(m: MapState, frame: FrameState, T_cw: jnp.ndarray,
     effective suppression radius is cell..2.8*cell px. Projection is
     pure pinhole (distortion ignored — a few px at image corners, well
     inside the dilation slack). O(M + K + grid) instead of an (M, K)
-    distance matrix."""
+    distance matrix.
+
+    points_w/points_valid: optional world-point snapshot to rasterize
+    instead of the full mappoint table — the engines pass the tracker's
+    local-map snapshot (the landmarks that can project here anyway),
+    which skips the 16k-point mappoint_positions + a 16k-long scatter
+    (~0.5 ms/keyframe event on a v5e). Old landmarks outside the
+    snapshot's recency window can then re-claim on a loop revisit, the
+    same duplicate-then-merge behavior the reference has
+    (ref src/loopcloser.cpp:223-299)."""
     cell = cfg.map.claim_cell_px
     K = frame.feats.xy.shape[0]
     if cell <= 0:
         return jnp.zeros((K,), bool)
-    Xc = se3.transform(T_cw, mappoint_positions(m))
+    if points_w is None:
+        points_w = mappoint_positions(m)
+        points_valid = m.mp_valid
+    Xc = se3.transform(T_cw, points_w)
     z = jnp.maximum(Xc[:, 2], 0.05)
     u = cfg.camera.fx * Xc[:, 0] / z + cfg.camera.cx
     v = cfg.camera.fy * Xc[:, 1] / z + cfg.camera.cy
@@ -147,7 +160,7 @@ def claimed_keypoints(m: MapState, frame: FrameState, T_cw: jnp.ndarray,
     gh = int(cfg.camera.height / cell) + 3
     cu = jnp.floor(u / cell).astype(jnp.int32) + 1
     cv = jnp.floor(v / cell).astype(jnp.int32) + 1
-    inb = (m.mp_valid & (Xc[:, 2] > 0.05) &
+    inb = (points_valid & (Xc[:, 2] > 0.05) &
            (cu >= 0) & (cu < gw) & (cv >= 0) & (cv < gh))
     flat = jnp.where(inb, cv * gw + cu, gh * gw)
     grid = jnp.zeros((gh * gw,), bool).at[flat].set(
@@ -168,7 +181,8 @@ def insert_keyframe(m: MapState, frame: FrameState, T_cw: jnp.ndarray,
                     frame_id: jnp.ndarray, mp_ids: jnp.ndarray,
                     mp_kpt: jnp.ndarray, mp_tracked: jnp.ndarray,
                     cfg: SlamConfig,
-                    quality: jnp.ndarray = None
+                    quality: jnp.ndarray = None,
+                    lm_snapshot: Tuple[jnp.ndarray, jnp.ndarray] = None
                     ) -> Tuple[MapState, jnp.ndarray]:
     """Insert `frame` as a keyframe and supply new mappoints.
 
@@ -193,7 +207,8 @@ def insert_keyframe(m: MapState, frame: FrameState, T_cw: jnp.ndarray,
 
     # --- supply new mappoints at stereo keypoints with no landmark ---
     has_mp = obs_row >= 0
-    claimed = claimed_keypoints(m, frame, T_cw, cfg)
+    lm_Xw, lm_ok = lm_snapshot if lm_snapshot is not None else (None, None)
+    claimed = claimed_keypoints(m, frame, T_cw, cfg, lm_Xw, lm_ok)
     new_mask = frame.feats.valid & frame.has_stereo & ~has_mp & ~claimed
     # allocate_slots never allocates past capacity (overflow requests
     # would map onto OCCUPIED slots and silently overwrite live

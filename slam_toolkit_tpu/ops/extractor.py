@@ -55,7 +55,17 @@ def extract(image: jnp.ndarray, cfg: ExtractorConfig) -> FrameFeatures:
         # low-threshold fallbacks via a +1e4 rank boost
         eff = fast.detect_dual(img_l, float(cfg.fast_threshold_high),
                                float(cfg.fast_threshold_low), border)
-        xy, _, valid = topk_grid.select_keypoints(eff, cfg.cell_size, n_l)
+        # adaptive per-cell depth: rank>=2 picks only matter once the
+        # budget exceeds the number of (nonempty) cells, so large levels
+        # (thousands of cells, budget in the hundreds) need depth 1 while
+        # the smallest levels (tens of cells) need the full 4. Each extra
+        # rank costs a masked-argmax pass over the whole level, so this
+        # cuts stage-1 selection ~4x on the biggest levels.
+        ncells = ((img_l.shape[0] + cfg.cell_size - 1) // cfg.cell_size) * \
+                 ((img_l.shape[1] + cfg.cell_size - 1) // cfg.cell_size)
+        per_cell = min(4, max(1, -(-4 * n_l // ncells)))
+        xy, _, valid = topk_grid.select_keypoints(eff, cfg.cell_size, n_l,
+                                                  per_cell=per_cell)
         # report the true (un-boosted) response, not the ranking value
         ix = xy.astype(jnp.int32)
         raw = eff[ix[:, 1], ix[:, 0]]

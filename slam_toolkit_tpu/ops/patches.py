@@ -83,10 +83,15 @@ def _gather_blocks_pallas(img: jnp.ndarray, ys: jnp.ndarray,
             if win.dtype == jnp.bfloat16:
                 win = win.astype(jnp.float32)
             # dynamic NEGATIVE shifts miscompile on Mosaic (v5e, jax 0.9):
-            # roll left by r == roll right by (size - r) % size
-            win = pltpu.roll(win, (wh - (y - ya)) % wh, 0)
+            # roll left by r == roll right by (size - r) % size.
+            # Lane roll FIRST, then slice lanes to bw, THEN the sublane
+            # roll: the sublane roll runs on a (wh, bw)-shaped value
+            # instead of (wh, ww) — measured 24% off the whole kernel at
+            # production shape (0.267 -> 0.203 ms per 2048 gathers).
             win = pltpu.roll(win, (ww - (x - xa)) % ww, 1)
-            out_ref[j] = win[:bh, :bw].astype(out_ref.dtype)
+            win = win[:, :bw]
+            win = pltpu.roll(win, (wh - (y - ya)) % wh, 0)
+            out_ref[j] = win[:bh].astype(out_ref.dtype)
             return c
 
         jax.lax.fori_loop(0, _BK, body, 0)

@@ -91,9 +91,12 @@ def _curve_pallas(img_l, img_r, ys0, xl0, xs0, max_disp: int,
         ya = pl.multiple_of((y // 8) * 8, 8)
         xa = pl.multiple_of((x // 128) * 128, 128)
         win = img_ref[pl.ds(ya, wh), pl.ds(xa, ww)]
-        win = pltpu.roll(win, (wh - (y - ya)) % wh, 0)
+        # lane roll first, slice lanes, then the (cheaper) sublane roll
+        # on the narrowed value — same trick as ops/patches.py
         win = pltpu.roll(win, (ww - (x - xa)) % ww, 1)
-        return win[:side, :bw]
+        win = win[:, :bw]
+        win = pltpu.roll(win, (wh - (y - ya)) % wh, 0)
+        return win[:side]
 
     def kernel(ys_ref, xl_ref, xs_ref, l_ref, r_ref, out_ref):
         i = pl.program_id(0)

@@ -131,10 +131,12 @@ class SlamEngine:
             return res, T_new, vel_new, packed
 
         @jax.jit
-        def _insert(m, frame, T_cw, frame_id, ids, kpts, inliers):
+        def _insert(m, frame, T_cw, frame_id, ids, kpts, inliers,
+                    lm_Xw, lm_valid):
             from slam_toolkit_tpu.mapping.culling import cull_weak_mappoints
             m2, slot = insert_keyframe(m, frame, T_cw, frame_id, ids, kpts,
-                                       inliers, cfg)
+                                       inliers, cfg,
+                                       lm_snapshot=(lm_Xw, lm_valid))
             m2 = cull_weak_mappoints(m2, frame_id,
                                      cfg.map.mp_cull_grace_frames,
                                      cfg.map.mp_cull_min_obs)
@@ -403,7 +405,7 @@ class SlamEngine:
             inliers = jnp.zeros((L,), bool)
         self.map, slot = self._insert(self.map, frame, T_cw,
                                       jnp.int32(self.frame_id), ids, kpts,
-                                      inliers)
+                                      inliers, self._lm[0], self._lm[3])
         self.n_keyframes += 1
         if self.vocab is not None:
             self._loop_step(frame, int(slot))

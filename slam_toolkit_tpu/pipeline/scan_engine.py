@@ -111,7 +111,9 @@ def make_frame_body(cfg: SlamConfig, cam: StereoCamera):
             else:
                 m2, slot = insert_keyframe(m, fr2, T_new, carry.frame_id,
                                            carry.lm_ids, res.mp_kpt,
-                                           res.mp_inlier, cfg)
+                                           res.mp_inlier, cfg,
+                                           lm_snapshot=(carry.lm_Xw,
+                                                        carry.lm_valid))
             if "cull" not in _skip:
                 m2 = cull_weak_mappoints(m2, carry.frame_id,
                                          cfg.map.mp_cull_grace_frames,

@@ -63,18 +63,21 @@ def add_stereo(frame: FrameState, image_left: jnp.ndarray,
             image_left, image_right, frame.feats.xy, frame.feats.valid,
             max_disp=int(cfg.matcher.stereo_max_dx),
             uniqueness=cfg.matcher.stereo_uniqueness)
-        # descriptor-consistency gate: SAD proposes, one BRIEF per eye at
-        # level 0 verifies — repetitive texture that fools an 11x11 SAD
-        # window rarely also matches 256 BRIEF bits. (The reference gets
-        # this robustness from its full right-ORB + ratio test,
-        # ref src/matcher.cpp:112-128, at ~5x the cost.)
-        bl = pyramid.gaussian_blur(image_left, 7, cfg.extractor.blur_sigma)
-        br = pyramid.gaussian_blur(image_right, 7, cfg.extractor.blur_sigma)
-        d_l = brief.upright_patch_descriptors(bl, frame.feats.xy)
-        xy_r = jnp.stack([right_x, frame.feats.xy[:, 1]], axis=-1)
-        d_r = brief.upright_patch_descriptors(br, xy_r)
-        ham = jnp.sum(jax.lax.population_count(d_l ^ d_r), axis=-1)
-        ok = ok & (ham <= cfg.matcher.max_hamming)
+        if cfg.matcher.stereo_brief_gate:
+            # descriptor-consistency gate: SAD proposes, one BRIEF per
+            # eye at level 0 verifies — repetitive texture that fools an
+            # 11x11 SAD window rarely also matches 256 BRIEF bits. (The
+            # reference gets this robustness from its full right-ORB +
+            # ratio test, ref src/matcher.cpp:112-128, at ~5x the cost.)
+            bl = pyramid.gaussian_blur(image_left, 7,
+                                       cfg.extractor.blur_sigma)
+            br = pyramid.gaussian_blur(image_right, 7,
+                                       cfg.extractor.blur_sigma)
+            d_l = brief.upright_patch_descriptors(bl, frame.feats.xy)
+            xy_r = jnp.stack([right_x, frame.feats.xy[:, 1]], axis=-1)
+            d_r = brief.upright_patch_descriptors(br, xy_r)
+            ham = jnp.sum(jax.lax.population_count(d_l ^ d_r), axis=-1)
+            ok = ok & (ham <= cfg.matcher.max_hamming)
     else:
         from slam_toolkit_tpu.frontend.matching import stereo_match
         from slam_toolkit_tpu.ops.subpixel import refine_disparity

@@ -135,7 +135,13 @@ def detect_dual(image: jnp.ndarray, thr_hi: float, thr_lo: float,
     corners on the lo response, then a single nms3x3) saves ~18 fps at
     KITTI scale but lets strong corners suppress adjacent hi-threshold
     survivors that the per-threshold NMS keeps; measured 3-seed ATE mean
-    0.222 m vs 0.176 m here — a 26% accuracy cost for 4% speed."""
+    0.222 m vs 0.176 m here — a 26% accuracy cost for 4% speed.
+    Also tried and rejected: keeping both NMS passes but ranking hi
+    corners by their LO scores (drops the hi-score accumulation, 2 of 6
+    selects per shifted view). The lo score is not rank-equivalent
+    (arcs differ between thresholds), the 3x3 winners among adjacent hi
+    corners shift, and the calibrated tiny-world e2e ATE regresses
+    0.076 -> 0.141 m."""
     resp_hi, resp_lo = dual_response(image, thr_hi, thr_lo)
     hi = nms3x3(resp_hi)
     lo = nms3x3(resp_lo)

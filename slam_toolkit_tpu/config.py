@@ -29,6 +29,12 @@ class ExtractorConfig:
     num_levels: int = 8
     fast_threshold_high: int = 20     # initial FAST threshold
     fast_threshold_low: int = 7       # fallback threshold in sparse cells
+    # dual-threshold rank boost (the reference's 20->7 per-cell retry,
+    # ref src/orb_extractor.cpp:769-829): high-threshold corners outrank
+    # all low-threshold ones in cell selection. False = single
+    # low-threshold pass ranked purely by corner response (~40% less
+    # FAST/NMS work); see detect_dual for the measured accuracy delta.
+    dual_threshold: bool = True
     cell_size: int = 32               # spatial-uniformity cell (ref uses 30px grid)
     patch_radius: int = 15            # IC_Angle / rBRIEF patch radius
     edge_margin: int = 19             # pyramid border (ref: EDGE_THRESHOLD 19)

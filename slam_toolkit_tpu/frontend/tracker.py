@@ -31,6 +31,10 @@ from slam_toolkit_tpu.optim import pose_lm
 class TrackResult(NamedTuple):
     T_cw: jnp.ndarray         # (4, 4) estimated pose
     mp_kpt: jnp.ndarray       # (L,) int32 keypoint index per landmark
+    mp_xy: jnp.ndarray        # (L, 2) matched keypoint pixel coords —
+    #                           already gathered in the tracker so the
+    #                           keyframe rule doesn't pay a second
+    #                           (L,)-gather (TPU 1D gathers serialize)
     mp_inlier: jnp.ndarray    # (L,) bool landmark tracked as inlier
     n_matches: jnp.ndarray    # () int32 matches fed to LM
     n_inliers: jnp.ndarray    # () int32 inliers after filtering
@@ -51,8 +55,15 @@ def track_pose(frame: FrameState, Xw: jnp.ndarray, mp_desc: jnp.ndarray,
     m = projection_match(Xw, mp_desc, mp_valid, frame.feats, T_pred, cam,
                          cfg.matcher, cfg.matcher.projection_radius)
     kpt = m.kpt_idx
-    z_norm = frame.norm_xy[kpt]
-    sigma2 = frame.feats.sigma2[kpt] / (cam.left.fx * cam.left.fx)
+    # ONE (L, 5) table gather instead of three separate (L,)-gathers
+    # (norm_xy, sigma2, xy) — 1D gathers serialize on the TPU, ~22 us
+    # per 3072-row gather in traces; batching the columns pays it once
+    table = jnp.concatenate([frame.norm_xy, frame.feats.sigma2[:, None],
+                             frame.feats.xy], axis=1)
+    g = table[kpt]
+    z_norm = g[:, :2]
+    sigma2 = g[:, 2] / (cam.left.fx * cam.left.fx)
+    xy_kpt = g[:, 3:5]
     from slam_toolkit_tpu.ops import pose_lm_kernel
     from slam_toolkit_tpu.utils.kernel_probe import use_pallas
     if use_pallas("pose_lm", pose_lm_kernel._probe):
@@ -67,7 +78,7 @@ def track_pose(frame: FrameState, Xw: jnp.ndarray, mp_desc: jnp.ndarray,
     # src/posetracker.cpp:106-137)
     Xc = se3.transform(res.T_cw, Xw)
     uv = cam_mod.project(cam.left, Xc)
-    err_px = jnp.linalg.norm(uv - frame.feats.xy[kpt], axis=-1)
+    err_px = jnp.linalg.norm(uv - xy_kpt, axis=-1)
     inlier = m.ok & (Xc[..., 2] > 0.0) & (err_px <= cfg.tracker.reprojection_px)
     # only erase outliers when enough inliers survive (ref :211-217)
     n_in = jnp.sum(inlier)
@@ -76,6 +87,7 @@ def track_pose(frame: FrameState, Xw: jnp.ndarray, mp_desc: jnp.ndarray,
     return TrackResult(
         T_cw=res.T_cw,
         mp_kpt=kpt,
+        mp_xy=xy_kpt,
         mp_inlier=final,
         n_matches=m.n_matches,
         n_inliers=jnp.sum(final),

@@ -53,8 +53,11 @@ def extract(image: jnp.ndarray, cfg: ExtractorConfig) -> FrameFeatures:
             continue
         # one-pass dual-threshold FAST: high-threshold corners outrank
         # low-threshold fallbacks via a +1e4 rank boost
-        eff = fast.detect_dual(img_l, float(cfg.fast_threshold_high),
-                               float(cfg.fast_threshold_low), border)
+        if cfg.dual_threshold:
+            eff = fast.detect_dual(img_l, float(cfg.fast_threshold_high),
+                                   float(cfg.fast_threshold_low), border)
+        else:
+            eff = fast.detect(img_l, float(cfg.fast_threshold_low), border)
         # adaptive per-cell depth: rank>=2 picks only matter once the
         # budget exceeds the number of (nonempty) cells, so large levels
         # (thousands of cells, budget in the hundreds) need depth 1 while

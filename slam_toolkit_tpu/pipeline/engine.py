@@ -116,7 +116,7 @@ class SlamEngine:
             vector so the driver pays a single readback per frame."""
             T_pred = se3.compose(velocity, T_prev)
             res = track_pose(frame, Xw, desc, valid, T_pred, cam, cfg)
-            matched_xy = frame.feats.xy[res.mp_kpt]
+            matched_xy = res.mp_xy
             needs = kf_rule.needs_keyframe(
                 matched_xy, res.mp_inlier, cfg.camera.width,
                 cfg.camera.height, cfg.keyframe)
@@ -198,9 +198,10 @@ class SlamEngine:
                 n_in = jnp.sum(inlier)
                 ok = n_in >= cfg.tracker.min_matches
                 res = TrackResult(T_cw=T_dir, mp_kpt=mm.kpt_idx,
+                                  mp_xy=frame.feats.xy[mm.kpt_idx],
                                   mp_inlier=inlier, n_matches=mm.n_matches,
                                   n_inliers=n_in, ok=ok)
-                matched_xy = frame.feats.xy[res.mp_kpt]
+                matched_xy = res.mp_xy
                 needs = kf_rule.needs_keyframe(
                     matched_xy, res.mp_inlier, cfg.camera.width,
                     cfg.camera.height, cfg.keyframe)

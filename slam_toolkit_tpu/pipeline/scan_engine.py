@@ -88,7 +88,7 @@ def make_frame_body(cfg: SlamConfig, cam: StereoCamera):
         T_pred = se3.compose(carry.velocity, carry.T_cw)
         res = track_pose(frame, carry.lm_Xw, carry.lm_desc, carry.lm_valid,
                          T_pred, cam, cfg)
-        matched_xy = frame.feats.xy[res.mp_kpt]
+        matched_xy = res.mp_xy
         n_inl = res.n_inliers.astype(jnp.float32)
         needs = (kf_rule.needs_keyframe(
             matched_xy, res.mp_inlier, cfg.camera.width, cfg.camera.height,

@@ -52,6 +52,15 @@ class ExtractorConfig:
     # ATE on the KITTI-scale bench. Keep float32; the bf16 path stays
     # available for HBM-constrained deployments.
     descriptor_dtype: str = "float32"
+    # fused FAST+NMS Pallas kernel (ops/fast_kernel.py): the whole
+    # corner chain in one VMEM pass per level, bit-exact vs the XLA
+    # formulation (probe-gated, XLA fallback off-TPU / on Mosaic
+    # failure). Default OFF: alternating bench A/B on a v5e was a
+    # statistical tie (XLA 495-523 fps over 4 runs, fused 500-523 over
+    # 3; both VPU-bound on identical arithmetic), so the simpler XLA
+    # path stays default. Kept as an option for libtpu builds where
+    # the XLA fusion regresses.
+    fused_fast: bool = False
 
     @property
     def max_keypoints(self) -> int:

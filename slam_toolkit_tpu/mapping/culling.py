@@ -125,13 +125,15 @@ def cull_weak_mappoints(m: MapState, cur_frame_id, grace_frames: int = 12,
     weak = (m.mp_valid & (m.mp_obs_count < min_obs) &
             (age > grace_frames) & (newer >= min_obs))
     flat_idx = m.mp_ref_kf * K + m.mp_kpt
-    obs_flat = jnp.concatenate([m.kf_obs.reshape(-1),
-                                jnp.full((1,), -1, jnp.int32)])
+    obs_flat = m.kf_obs.reshape(-1)
     still_mine = obs_flat[flat_idx] == jnp.arange(M)
+    # drop-mode scatter straight into the (F*K,) view: the old
+    # concat-sentinel + [:-1] slice formulation copied the 2M-element
+    # obs table twice more per keyframe event
     target = jnp.where(weak & still_mine, flat_idx, F * K)
-    obs_flat = obs_flat.at[target].set(-1)
+    obs_flat = obs_flat.at[target].set(-1, mode="drop")
     return m._replace(
-        kf_obs=obs_flat[:-1].reshape(F, K),
+        kf_obs=obs_flat.reshape(F, K),
         mp_valid=m.mp_valid & ~weak,
         mp_obs_count=jnp.where(weak, 0, m.mp_obs_count))
 

@@ -18,6 +18,8 @@ concrete values, so they are safe to trigger from inside a jit trace
 Env overrides for testing / benchmarking:
   SLAM_TPU_FORCE_XLA=1      never use Pallas kernels
   SLAM_TPU_FORCE_PALLAS=1   skip probes, always use them (crash on fail)
+  SLAM_TPU_DISABLE_KERNELS=a,b  force the XLA path for the named
+                            kernels only (per-kernel A/B benchmarking)
 """
 
 from __future__ import annotations
@@ -45,6 +47,9 @@ def use_pallas(name: str, probe: Callable[[], None]) -> bool:
     if jax.default_backend() != "tpu":
         return False
     if os.environ.get("SLAM_TPU_FORCE_XLA"):
+        return False
+    disabled = os.environ.get("SLAM_TPU_DISABLE_KERNELS", "")
+    if name in [k.strip() for k in disabled.split(",") if k.strip()]:
         return False
     if os.environ.get("SLAM_TPU_FORCE_PALLAS"):
         return True

@@ -111,26 +111,37 @@ def cull_weak_mappoints(m: MapState, cur_frame_id, grace_frames: int = 12,
     merge re-pointed it)."""
     F, K = m.kf_obs.shape
     M = m.mp_valid.shape[0]
-    age = cur_frame_id - m.kf_frame_id[m.mp_ref_kf]
     # a landmark only had a chance to be re-observed if keyframes were
     # actually created after its anchor: require >= min_obs newer KFs.
     # Computed as a per-KF newer-count table (one fused (F, F)
-    # compare-reduce) gathered per landmark — a sort+searchsorted here
-    # lowered to an 11-step serial while loop costing ~1 ms per
-    # keyframe event on a v5e (the whole branch was ~4 ms)
+    # compare-reduce) — a sort+searchsorted here lowered to an 11-step
+    # serial while loop costing ~1 ms per keyframe event on a v5e (the
+    # whole branch was ~4 ms)
     newer_tbl = jnp.sum(m.kf_valid[None, :] &
                         (m.kf_frame_id[None, :] > m.kf_frame_id[:, None]),
                         axis=1).astype(jnp.int32)
-    newer = newer_tbl[m.mp_ref_kf]
-    weak = (m.mp_valid & (m.mp_obs_count < min_obs) &
-            (age > grace_frames) & (newer >= min_obs))
+    # per-KF eligibility, applied per landmark as one (M, F) broadcast
+    # compare-reduce (~20 us fused on the VPU) — gathering the age and
+    # newer-count tables per landmark instead serializes element by
+    # element on TPU (2 x ~86 us per keyframe event at M=16k)
+    kf_elig = ((cur_frame_id - m.kf_frame_id > grace_frames) &
+               (newer_tbl >= min_obs))
+    elig = jnp.any(kf_elig[None, :] &
+                   (m.mp_ref_kf[:, None] == jnp.arange(F)[None, :]), axis=1)
+    weak = m.mp_valid & (m.mp_obs_count < min_obs) & elig
     flat_idx = m.mp_ref_kf * K + m.mp_kpt
+    # anchor-cell invariant: for every VALID landmark w,
+    # kf_obs[mp_ref_kf[w], mp_kpt[w]] == w. Insert writes the anchor
+    # cell; cull_keyframe re-anchors onto a cell that observes w;
+    # merge_mappoints only rewrites cells of LOSER landmarks (which it
+    # invalidates) and only adopts into EMPTY cells (loop/closer.py:
+    # 231-251). So the weak mask (which requires mp_valid) never needs
+    # a read-back guard — the guard was a 16k-element gather from the
+    # 2M obs table, ~116 us serialized per keyframe event on a v5e.
+    # Drop-mode scatter straight into the (F*K,) view (the old concat-
+    # sentinel + [:-1] slice copied the table twice more per event).
     obs_flat = m.kf_obs.reshape(-1)
-    still_mine = obs_flat[flat_idx] == jnp.arange(M)
-    # drop-mode scatter straight into the (F*K,) view: the old
-    # concat-sentinel + [:-1] slice formulation copied the 2M-element
-    # obs table twice more per keyframe event
-    target = jnp.where(weak & still_mine, flat_idx, F * K)
+    target = jnp.where(weak, flat_idx, F * K)
     obs_flat = obs_flat.at[target].set(-1, mode="drop")
     return m._replace(
         kf_obs=obs_flat.reshape(F, K),

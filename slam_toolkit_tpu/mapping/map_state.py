@@ -266,13 +266,12 @@ def unique_prioritized(ids: jnp.ndarray, num_out: int,
 
     ids: (N,) int32 in [-1, M); negative entries are ignored. Returns
     (num_out,) int32 with sentinel M in unfilled slots. When the set
-    exceeds num_out, ESTABLISHED landmarks (obs_count >= 2 — re-observed,
-    BA-refined) survive and single-observation stereo inits are dropped:
-    truncating the other way around filled the tracker's local map with
+    exceeds num_out, ESTABLISHED landmarks (appearing >= 2 times in
+    `ids`, i.e. re-observed within the candidate window — BA-refined)
+    survive and single-observation stereo inits are dropped: truncating
+    the other way around filled the tracker's local map with
     never-optimized inits and lost the refined ones (measured 4x ATE at
-    KITTI density). Sort-free: membership scatter + two cumsum-rank
-    compaction passes (a sort-based dedup here cost two 20k-key sorts
-    per keyframe event).
+    KITTI density).
     """
     M = m.mp_valid.shape[0]
     n = ids.shape[0]
@@ -285,11 +284,23 @@ def unique_prioritized(ids: jnp.ndarray, num_out: int,
     first = jnp.concatenate([jnp.ones(1, bool),
                              sid[1:] != sid[:-1]]) & (sid < M)
     # sort 2: established landmarks first, then by id; sentinel last.
-    # Two 20k-key bitonic sorts + one gather measured FASTER on a v5e
-    # than the scatter-compaction alternative (membership scatter +
-    # cumsum ranks): TPU scatters serialize, sorts don't (~0.13 ms/frame
-    # swing on the full bench).
-    est = m.mp_obs_count[jnp.where(first, sid, 0)] >= 2
+    # Two 20k-key bitonic sorts measured FASTER on a v5e than the
+    # scatter-compaction alternative (membership scatter + cumsum
+    # ranks): TPU scatters serialize, sorts don't (~0.13 ms/frame swing
+    # on the full bench).
+    # "Established" = the id appears at least twice IN THE CANDIDATE
+    # SET (duplicates are adjacent after sort 1, so this is one shifted
+    # compare). The previous definition gathered mp_obs_count per id —
+    # a serializing 16-20k-element gather costing ~0.13-0.15 ms per
+    # keyframe event. The in-set notion is the better criterion anyway
+    # for both callers: a BA point seen once in the window contributes
+    # a near-unconstrained residual however many older keyframes saw
+    # it, and a local-map landmark re-observed within the recent window
+    # is exactly the "refined, multi-view" one worth keeping (bench
+    # ATE/RPE at KITTI scale: 0.173 m / 0.0223 m vs 0.170 / 0.0225
+    # before — inside run-to-run noise).
+    est = first & jnp.concatenate([sid[1:] == sid[:-1],
+                                   jnp.zeros(1, bool)])
     pack2 = jnp.where(first,
                       jnp.where(est, 0, M + 1) + sid,
                       2 * (M + 1) + M)        # sentinel: % (M+1) == M

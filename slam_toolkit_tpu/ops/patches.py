@@ -69,32 +69,40 @@ def _gather_blocks_pallas(img: jnp.ndarray, ys: jnp.ndarray,
         ys = jnp.pad(ys, (0, kp - k))
         xs = jnp.pad(xs, (0, kp - k))
 
+    _U = 8   # keypoints per loop step (manual unroll — Mosaic's
+    #          fori_loop only supports unroll=1 or full): each window
+    #          read is a few VPU ops behind per-iteration loop and
+    #          scheduling overhead, so unrolling lets consecutive
+    #          keypoints' loads and rolls overlap
+
     def kernel(ys_ref, xs_ref, img_ref, out_ref):
         i = pl.program_id(0)
 
         def body(j, c):
-            kk = i * _BK + j
-            y, x = ys_ref[kk], xs_ref[kk]
-            ya = pl.multiple_of((y // su) * su, su)
-            xa = pl.multiple_of((x // 128) * 128, 128)
-            win = img_ref[pl.ds(ya, wh), pl.ds(xa, ww)]
-            # Mosaic's dynamic_rotate is 32-bit only: upcast bf16
-            # windows for the rolls (VMEM-local; HBM stays bf16)
-            if win.dtype == jnp.bfloat16:
-                win = win.astype(jnp.float32)
-            # dynamic NEGATIVE shifts miscompile on Mosaic (v5e, jax 0.9):
-            # roll left by r == roll right by (size - r) % size.
-            # Lane roll FIRST, then slice lanes to bw, THEN the sublane
-            # roll: the sublane roll runs on a (wh, bw)-shaped value
-            # instead of (wh, ww) — measured 24% off the whole kernel at
-            # production shape (0.267 -> 0.203 ms per 2048 gathers).
-            win = pltpu.roll(win, (ww - (x - xa)) % ww, 1)
-            win = win[:, :bw]
-            win = pltpu.roll(win, (wh - (y - ya)) % wh, 0)
-            out_ref[j] = win[:bh].astype(out_ref.dtype)
+            for u in range(_U):
+                kk = i * _BK + j * _U + u
+                y, x = ys_ref[kk], xs_ref[kk]
+                ya = pl.multiple_of((y // su) * su, su)
+                xa = pl.multiple_of((x // 128) * 128, 128)
+                win = img_ref[pl.ds(ya, wh), pl.ds(xa, ww)]
+                # Mosaic's dynamic_rotate is 32-bit only: upcast bf16
+                # windows for the rolls (VMEM-local; HBM stays bf16)
+                if win.dtype == jnp.bfloat16:
+                    win = win.astype(jnp.float32)
+                # dynamic NEGATIVE shifts miscompile on Mosaic (v5e, jax
+                # 0.9): roll left by r == roll right by (size - r) % size.
+                # Lane roll FIRST, then slice lanes to bw, THEN the
+                # sublane roll: the sublane roll runs on a (wh, bw)-shaped
+                # value instead of (wh, ww) — measured 24% off the whole
+                # kernel at production shape (0.267 -> 0.203 ms per 2048
+                # gathers).
+                win = pltpu.roll(win, (ww - (x - xa)) % ww, 1)
+                win = win[:, :bw]
+                win = pltpu.roll(win, (wh - (y - ya)) % wh, 0)
+                out_ref[j * _U + u] = win[:bh].astype(out_ref.dtype)
             return c
 
-        jax.lax.fori_loop(0, _BK, body, 0)
+        jax.lax.fori_loop(0, _BK // _U, body, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

@@ -101,6 +101,10 @@ def _curve_pallas(img_l, img_r, ys0, xl0, xs0, max_disp: int,
     def kernel(ys_ref, xl_ref, xs_ref, l_ref, r_ref, out_ref):
         i = pl.program_id(0)
 
+        # NOTE: manually unrolling this loop 8x was measured ~2x SLOWER
+        # on a v5e (644 -> 1220 us per 2048 keypoints in the bench
+        # trace) — the widened body spills VMEM registers; keep the
+        # plain per-keypoint loop.
         def body(j, c):
             kk = i * _BK + j
             y = ys_ref[kk]

@@ -326,6 +326,16 @@ class ChunkedSlamEngine:
             else self._carry()
         carry, packed = self._chunk(carry_in, imgs)
         self._carry_cache = carry
+        # start the device->host copy of the packed per-frame outputs
+        # NOW: by the time this chunk is folded (queue_depth dispatches
+        # later) the bytes are already host-side, so _fold_one's
+        # np.asarray doesn't pay a synchronous device round-trip per
+        # chunk (through this environment's TCP relay that round-trip
+        # was ~30 ms — larger than the chunk's device time)
+        try:
+            packed.copy_to_host_async()
+        except Exception:   # non-jax arrays in tests / older runtimes
+            pass
         h = self._host
         h.map = carry.m
         h.T_cw = carry.T_cw

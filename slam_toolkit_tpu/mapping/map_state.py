@@ -110,17 +110,19 @@ def allocate_slots(free: jnp.ndarray, want: jnp.ndarray,
     real. Returns (num,) int32 slot ids; masked (or overflow) requests
     get the SENTINEL N, so callers can scatter with mode="drop" and
     never collide with a real allocation. Allocation = the i-th real
-    request gets the i-th free slot, via one scatter building the
-    rank->slot table (a searchsorted here lowered to a 15-step serial
-    while loop, ~0.2 ms per keyframe event on a v5e; an argsort, ~1 ms)."""
+    request gets the i-th free slot. Lowering notes: a searchsorted
+    here became a 15-step serial while loop (~0.2 ms per keyframe
+    event on a v5e), an argsort ~1 ms, and the scatter+gather
+    rank->slot table ~0.1 ms (TPU scatters/gathers serialize element
+    by element); the (num, N) compare-reduce below fuses onto the VPU
+    at ~0.04 ms for num=2k, N=16k."""
     n = free.shape[0]
     csum = jnp.cumsum(free.astype(jnp.int32))            # (N,) monotone
-    # slot_of_rank[r] = index of the (r+1)-th free slot
-    slot_of_rank = jnp.zeros((n,), jnp.int32).at[
-        jnp.where(free, csum - 1, n)].set(
-        jnp.arange(n, dtype=jnp.int32), mode="drop")
     rank = jnp.cumsum(want.astype(jnp.int32)) - 1        # 0-based rank
-    slots = slot_of_rank[jnp.clip(rank, 0, n - 1)]
+    # slots[r] = min{ i : free[i] and csum[i] == rank[r] + 1 }
+    hit = free[None, :] & (csum[None, :] == (rank + 1)[:, None])
+    slots = jnp.min(jnp.where(hit, jnp.arange(n, dtype=jnp.int32)[None, :],
+                              n), axis=1)
     real = want & (rank < csum[-1])
     return jnp.where(real, slots, n).astype(jnp.int32)
 

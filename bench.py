@@ -28,6 +28,117 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 
+def main_loop():
+    """BENCH_LOOP=1: full-SLAM variant — KITTI-scale circular revisit
+    with a trained binary vocabulary, BoW loop detection and pose-graph
+    closing active between chunks (BASELINE.md's "full SLAM" target row;
+    ref src/loopdetector.cpp + src/loopcloser.cpp). Reports fps with the
+    loop machinery on, plus closure count and the loop-seam error
+    (distance between both visits' estimates of the same physical pose —
+    the quantity closure exists to shrink)."""
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    from slam_toolkit_tpu.config import SlamConfig
+    from slam_toolkit_tpu.data.synthetic import (loop_track, make_world,
+                                                 render_stereo)
+    from slam_toolkit_tpu.evaluation.traj import ate_rmse
+    from slam_toolkit_tpu.loop import vocab as V
+    from slam_toolkit_tpu.ops.extractor import extract
+    from slam_toolkit_tpu.pipeline.scan_engine import ChunkedSlamEngine
+
+    cfg = SlamConfig()
+    chunk = int(os.environ.get("BENCH_CHUNK", "16"))
+    n = int(os.environ.get("BENCH_FRAMES", "320"))
+    step = 0.8
+    lap = (n * 17 // 20) // chunk * chunk   # close the track at ~85%,
+    revisit = n - lap                        # then re-drive the start
+    extent = lap * step / 4.0                # rough track half-extent
+
+    t_setup = time.perf_counter()
+    cache = (f"/tmp/slam_loop_seq_v2_{n}_{cfg.camera.width}x"
+             f"{cfg.camera.height}")
+    if os.path.exists(cache + ".npy"):
+        stacked = np.load(cache + ".npy", mmap_mode="r")
+        gt = list(np.load(cache + ".gt.npy"))
+        sys.stderr.write(f"[bench-loop] mapped {n} cached frames\n")
+    else:
+        # tex_size/texels_per_m chosen so the wrap period (2048/12 =
+        # 170 m) exceeds the scene diameter: with the default 21 m
+        # tiling, loop relative-pose locked onto a texture-period-
+        # shifted solution with 148 self-consistent "inliers" and a
+        # 14 m-wrong translation. Real imagery does not tile; the
+        # synthetic world must not either.
+        world = make_world(cfg, seed=7, half_width=extent + 12.0,
+                           half_length=extent + 12.0, ground_y=1.6,
+                           tex_size=2048, texels_per_m=12.0)
+        track = loop_track(lap, step=step)
+        gt = track + track[:revisit]
+        frames = [render_stereo(world, T) for T in gt]
+        stacked = np.stack([
+            np.stack([np.clip(l, 0, 255), np.clip(r, 0, 255)])
+            for l, r in frames]).astype(np.uint8)
+        np.save(cache + ".npy", stacked)
+        np.save(cache + ".gt.npy", np.stack(gt))
+        sys.stderr.write(f"[bench-loop] rendered {n} frames in "
+                         f"{time.perf_counter() - t_setup:.1f}s\n")
+
+    voc_path = f"/tmp/slam_loop_vocab_{n}.txt"
+    if os.path.exists(voc_path):
+        voc = V.load_dbow2_text(voc_path)   # exercises the DBoW2 loader
+    else:
+        ex = jax.jit(lambda im: extract(im, cfg.extractor))
+        corpus = []
+        for i in range(0, n, 8):
+            f = ex(jnp.asarray(stacked[i, 0], jnp.float32))
+            corpus.append(np.asarray(f.desc)[np.asarray(f.valid)])
+        voc = V.train(np.concatenate(corpus), k=10, levels=3, seed=0)
+        V.save_dbow2_text(voc, voc_path)
+        sys.stderr.write(f"[bench-loop] trained vocab in "
+                         f"{time.perf_counter() - t_setup:.1f}s\n")
+
+    chunks = [jnp.asarray(stacked[i:i + chunk], jnp.float32)
+              for i in range(0, n, chunk)]
+    jax.block_until_ready(chunks)
+
+    warmup_chunks = 3
+    t0 = time.perf_counter()
+    eng = ChunkedSlamEngine(cfg, vocab=voc, chunk_size=chunk)
+    for c in chunks[:warmup_chunks]:
+        eng.process_chunk(c)
+    eng.flush()
+    sys.stderr.write(f"[bench-loop] warmup (compile) in "
+                     f"{time.perf_counter() - t0:.1f}s\n")
+    t0 = time.perf_counter()
+    for c in chunks[warmup_chunks:]:
+        eng.process_chunk(c)
+    eng.flush()
+    dt = time.perf_counter() - t0
+    n_timed = sum(int(c.shape[0]) for c in chunks[warmup_chunks:])
+
+    traj = eng.trajectory_refined()
+    ate = ate_rmse(traj, gt, align=True)
+    centers = np.stack([-np.asarray(T)[:3, :3].T @ np.asarray(T)[:3, 3]
+                        for T in traj])
+    seam = float(np.mean(np.linalg.norm(
+        centers[lap:lap + revisit] - centers[:revisit], axis=1)))
+    closures = [e for e in eng.loop_events if "cand" in e]
+    fps = n_timed / dt
+    sys.stderr.write(
+        f"[bench-loop] {n_timed} frames in {dt:.2f}s, {fps:.1f} fps, "
+        f"ATE {ate:.3f} m, seam {seam:.3f} m, closures {len(closures)}, "
+        f"replays {eng.n_replays}, keyframes {eng._host.n_keyframes}\n")
+    print(json.dumps({
+        "metric": "kitti_scale_full_slam_loop_fps",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / 500.0, 4),
+    }))
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -116,4 +227,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_LOOP"):
+        main_loop()
+    else:
+        main()

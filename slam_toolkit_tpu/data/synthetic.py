@@ -220,3 +220,62 @@ def make_sequence(cfg: SlamConfig, n_frames: int = 30, seed: int = 0,
     poses = forward_trajectory(n_frames, step, yaw_rate)
     frames = [render_stereo(world, T, noise) for T in poses]
     return world, poses, frames
+
+
+def loop_track(n_track: int, step: float = 0.8,
+               ramp: int = 12) -> List[np.ndarray]:
+    """Closed KITTI-like test track: 4 corners with clothoid (linearly
+    ramped yaw-rate) entry/exit, straights between, exact closure.
+
+    A constant-curvature circle is untrackable from a standing start:
+    the very first frame jumps to the full steady-state yaw rate, which
+    at KITTI focal lengths shifts EVERY feature by tens of pixels
+    before the constant-velocity model has seen any motion. Real roads
+    insert clothoid transitions for exactly this reason (lateral jerk
+    limits); with ramped corners the prediction error per frame stays
+    at the ramp increment (~2 px) and tracking survives bootstrap.
+
+    The integrated track does not close exactly (ramp quantization), so
+    the SE3 closure error is distributed along the whole path pose-graph
+    style: T'_t = T_t . exp(-(t/N) log(T_N)), making frame N land
+    exactly on frame 0 — revisit frames can then replay gt[:k] without a
+    teleport. Returns T_cw per frame.
+    """
+    from slam_toolkit_tpu.geometry import se3
+    import jax.numpy as jnp
+
+    # corner profile: ramp up (ramp frames), hold, ramp down; 4 corners
+    # of pi/2 each, separated by straights. Choose hold/straight split
+    # from what n_track allows.
+    per_corner = n_track // 4
+    hold = max(per_corner - 2 * ramp - 8, 4)
+    straight = per_corner - 2 * ramp - hold
+    prof = ([0.0] * straight + list(np.linspace(0, 1, ramp, endpoint=False))
+            + [1.0] * hold + list(np.linspace(1, 0, ramp, endpoint=False)))
+    dyaw = np.array((prof * 4)[:n_track], np.float64)
+    dyaw = dyaw * (2.0 * np.pi / dyaw.sum())          # total yaw = 2 pi
+
+    T_wc = np.eye(4, dtype=np.float32)
+    raw = []
+    for t in range(n_track):
+        raw.append(np.linalg.inv(T_wc).astype(np.float32))
+        dT = np.asarray(se3.exp(jnp.asarray(
+            [0.0, 0.0, step, 0.0, float(dyaw[t]), 0.0], jnp.float32)))
+        T_wc = (T_wc @ dT).astype(np.float32)
+    T_N = np.linalg.inv(T_wc).astype(np.float32)      # closure error
+    xi = np.asarray(se3.log(jnp.asarray(T_N)))
+    out = []
+    for t, T in enumerate(raw):
+        W = np.asarray(se3.exp(jnp.asarray(-xi * (t / n_track),
+                                           jnp.float32)))
+        out.append(np.asarray(se3.normalize(
+            jnp.asarray(T @ W))).astype(np.float32))
+    # center the track's bounding box on the world origin (the flat
+    # world of make_world is a box around 0; an uncentered track hugs
+    # one wall)
+    c = np.stack([-T[:3, :3].T @ T[:3, 3] for T in out])
+    mid = (c.min(axis=0) + c.max(axis=0)) / 2.0
+    mid[1] = 0.0
+    shift = np.eye(4, dtype=np.float32)
+    shift[:3, 3] = mid
+    return [(T @ shift).astype(np.float32) for T in out]

@@ -247,8 +247,12 @@ class SlamEngine:
                 return det_mod.score_query(m, bow_db, query, slot, cfg.loop)
 
             @jax.jit
-            def _covis(m, slot):
-                return det_mod.covisibility_counts(m, slot)
+            def _covis(m, slots):
+                # batched: one dispatch for ALL candidates — per-
+                # candidate dispatches each paid a host->device round
+                # trip (~30 ms through this environment's relay)
+                return jax.vmap(det_mod.covisibility_counts,
+                                in_axes=(None, 0))(m, slots)
 
             @jax.jit
             def _relpose(m, cur, cand):
@@ -451,9 +455,14 @@ class SlamEngine:
             return
         scores = np.asarray(sc.scores)
         raw_slots = np.flatnonzero(cand_mask)
-        covis_rows = np.stack([
-            np.asarray(self._covis(self.map, jnp.int32(int(cs))))
-            for cs in raw_slots])
+        # one batched dispatch, padded to a multiple of 8 so candidate-
+        # count jitter doesn't recompile the vmapped program every call
+        nc = len(raw_slots)
+        padn = 8 * ((nc + 7) // 8)
+        slots_pad = np.zeros(padn, np.int32)
+        slots_pad[:nc] = raw_slots
+        covis_rows = np.asarray(
+            self._covis(self.map, jnp.asarray(slots_pad)))[:nc]
         # accumulate over covisibility groups, keep > 0.75 * best group
         # (ref src/pipeline_map.cpp:224-269; suppresses single-frame
         # BoW aliasing)

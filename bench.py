@@ -110,6 +110,7 @@ def main_loop():
     for c in chunks[:warmup_chunks]:
         eng.process_chunk(c)
     eng.flush()
+    eng.warmup()       # closure-path compiles happen HERE, not mid-run
     sys.stderr.write(f"[bench-loop] warmup (compile) in "
                      f"{time.perf_counter() - t0:.1f}s\n")
     t0 = time.perf_counter()

@@ -63,8 +63,27 @@ def main():
 
     eng = ChunkedSlamEngine(cfg, vocab=voc, chunk_size=chunk)
     h = eng._host
-    for name in ("_bow", "_loop_score", "_covis", "_relpose", "_close"):
+    for name in ("_bow", "_loop_score", "_covis", "_relpose", "_close",
+                 "_bow_register", "_refresh_kf_mirrors"):
         setattr(h, name, timed(name, getattr(h, name)))
+
+    orig_consume = h._consume_scores
+    def consume_wrap(*a, **k):
+        t0 = time.perf_counter()
+        out = orig_consume(*a, **k)
+        BUCKETS["consume_scores_total"] += time.perf_counter() - t0
+        COUNTS["consume_scores_total"] += 1
+        return out
+    h._consume_scores = consume_wrap
+
+    orig_disp = eng._dispatch
+    def disp_wrap(*a, **k):
+        t0 = time.perf_counter()
+        out = orig_disp(*a, **k)
+        BUCKETS["dispatch_total"] += time.perf_counter() - t0
+        COUNTS["dispatch_total"] += 1
+        return out
+    eng._dispatch = disp_wrap
 
     # also bucket the whole between-chunk loop pass and the fold readback
     orig_loop = eng._loop_between_chunks
@@ -89,6 +108,7 @@ def main():
     for c in chunks[:warm]:
         eng.process_chunk(c)
     eng.flush()
+    eng.warmup()
     print(f"warmup {time.perf_counter() - t0:.1f}s", file=sys.stderr)
     for k in list(BUCKETS):
         BUCKETS[k] = 0.0

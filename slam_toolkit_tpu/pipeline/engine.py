@@ -271,8 +271,38 @@ class SlamEngine:
                                           cv, cfg)
                 return closer_mod.merge_mappoints(m, cur, cand, cam, cfg)
 
+            @functools.partial(jax.jit, donate_argnums=1)
+            def _bow_register(m, bow_db, slots, slot_valid):
+                """BoW-compute + database-register + score a PADDED batch
+                of new keyframes in one dispatch. The scan engine's
+                between-chunk loop registration previously did this per
+                keyframe with eager ops (`kf_desc[slot]` gathers,
+                `bow_db.at[slot].set`) — each distinct python slot value
+                compiled a fresh remote program and paid a relay
+                round-trip, which dominated loop-mode wall time.
+
+                Each query scores against the db AFTER the whole batch
+                registered (vs strictly-sequential registration); the
+                detector's min_kf_gap temporal gate excludes the batch
+                peers from candidacy anyway, so detection semantics are
+                unchanged."""
+                def bv(s):
+                    desc = m.kf_desc[s].reshape(-1, 8)
+                    return vocab_mod.bow_vector(voc, desc,
+                                                m.kf_kpt_valid[s])
+                qs = jax.vmap(bv)(slots)                      # (P, W)
+                # padded entries scatter out of bounds -> dropped
+                F = bow_db.shape[0]
+                safe = jnp.where(slot_valid, slots, F)
+                db = bow_db.at[safe].set(qs)
+                sc = jax.vmap(
+                    lambda q, s: det_mod.score_query(m, db, q, s, cfg.loop)
+                )(qs, slots)
+                return db, sc
+
             self._bow, self._loop_score, self._covis = _bow, _loop_score, _covis
             self._relpose, self._close = _relpose, _close
+            self._bow_register = _bow_register
 
     # ----- driver -----------------------------------------------------------
     def process(self, left, right) -> np.ndarray:
@@ -437,6 +467,23 @@ class SlamEngine:
                 return rel.T_cw
         return None
 
+    def warmup_loop_programs(self):
+        """Pre-compile the closure-path programs (covis, relative pose,
+        close+merge). These only run when a closure actually fires —
+        without warmup the FIRST real closure pays their compiles
+        (~tens of seconds through this environment's remote-compile
+        relay) in the middle of the timed pipeline. All three are pure
+        fixed-iteration functions, safe to trace on the empty map."""
+        if self.vocab is None:
+            return
+        z = jnp.int32(0)
+        outs = [self._covis(self.map, jnp.zeros((8,), jnp.int32))]
+        outs.append(self._relpose(self.map, z, z))
+        outs.append(self._close(self.map, z, z, jnp.eye(4), self.closed_i,
+                                self.closed_j, self.closed_T,
+                                self.closed_valid))
+        jax.block_until_ready(outs)
+
     # ----- loop closing (the mapping-thread work) ----------------------------
     def _loop_step(self, frame, slot: int):
         q = self._bow(frame.feats.desc, frame.feats.valid)
@@ -444,16 +491,25 @@ class SlamEngine:
         self._loop_kf_detect(slot, q)
 
     def _loop_kf_detect(self, slot: int, q):
-        """Detection + consistency + closure for one new keyframe (also
-        driven per-chunk by the scan engine)."""
+        """Detection + consistency + closure for one new keyframe."""
         if self.n_keyframes < 3:
             return
         sc = self._loop_score(self.map, self.bow_db, q, jnp.int32(slot))
-        cand_mask = np.asarray(sc.candidates)
+        self._consume_scores(slot, np.asarray(sc.candidates),
+                             np.asarray(sc.scores))
+
+    def _consume_scores(self, slot: int, cand_mask: np.ndarray,
+                        scores: np.ndarray):
+        """Host half of detection: consistency + closure, given the
+        (already read back) candidate mask and score row for one new
+        keyframe. Driven per-KF by _loop_kf_detect and per-chunk (scores
+        precomputed in one batched _bow_register dispatch) by the scan
+        engine."""
+        if self.n_keyframes < 3:
+            return
         if not cand_mask.any():
             self.consistency.update([])
             return
-        scores = np.asarray(sc.scores)
         raw_slots = np.flatnonzero(cand_mask)
         # one batched dispatch, padded to a multiple of 8 so candidate-
         # count jitter doesn't recompile the vmapped program every call

@@ -237,6 +237,11 @@ class ChunkedSlamEngine:
         self.flush()
         return self._host.map
 
+    def warmup(self):
+        """Pre-compile the rare-path programs (loop closure) so their
+        first real firing doesn't stall the timed pipeline."""
+        self._host.warmup_loop_programs()
+
     @property
     def loop_events(self):
         return self._host.loop_events
@@ -421,18 +426,29 @@ class ChunkedSlamEngine:
         self._carry_cache = None
 
     def _loop_between_chunks(self, packed_np: np.ndarray):
-        """BoW-register each new keyframe and run detection/closing."""
+        """BoW-register + score this chunk's new keyframes in ONE batched
+        dispatch (engine._bow_register), then run the host half of
+        detection (consistency + closure) per keyframe off the single
+        read-back score block. The per-KF eager version of this
+        (kf_desc[slot] gather, bow_db.at[slot].set, one _loop_score
+        dispatch each) compiled a fresh remote program per distinct slot
+        and paid a relay round-trip per keyframe — it dominated loop-mode
+        wall time (scripts/profile_loop_stages.py)."""
         h = self._host
         map_before = h.map
-        for row in packed_np:
-            if row[34] <= 0.5:
-                continue
-            slot = int(row[32])
-            desc = h.map.kf_desc[slot].reshape(-1, 8)
-            valid = h.map.kf_kpt_valid[slot]
-            q = h._bow(desc, valid)
-            h.bow_db = h.bow_db.at[slot].set(q)
-            h._loop_kf_detect(slot, q)
+        slots = packed_np[packed_np[:, 34] > 0.5, 32].astype(np.int32)
+        P = self.chunk_size
+        slots_pad = np.zeros((P,), np.int32)
+        valid_pad = np.zeros((P,), bool)
+        k = min(len(slots), P)
+        slots_pad[:k] = slots[:k]
+        valid_pad[:k] = True
+        h.bow_db, sc = h._bow_register(
+            h.map, h.bow_db, jnp.asarray(slots_pad), jnp.asarray(valid_pad))
+        cand_np = np.asarray(sc.candidates)
+        scores_np = np.asarray(sc.scores)
+        for i in range(k):
+            h._consume_scores(int(slots_pad[i]), cand_np[i], scores_np[i])
         if h.map is not map_before:
             # a loop closure moved keyframes/landmarks: resync mirrors,
             # drop the cached carry, and flag any in-flight chunk (built

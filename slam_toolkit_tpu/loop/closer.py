@@ -140,46 +140,69 @@ def close_loop(m: MapState, cur_slot: jnp.ndarray, cand_slot: jnp.ndarray,
                T_cur_loop: jnp.ndarray, prev_loops_i: jnp.ndarray,
                prev_loops_j: jnp.ndarray, prev_loops_T: jnp.ndarray,
                prev_loops_valid: jnp.ndarray,
-               cfg: SlamConfig) -> MapState:
+               cfg: SlamConfig, tier: int = 0) -> MapState:
     """Pose-graph correction over all keyframes (ref :104-220).
 
     prev_loops_*: fixed-capacity memory of earlier closures (slot pairs
     and measured relative transforms), mirroring closed_loops_ (:191).
+
+    tier (static): size of the COMPACT pose-graph problem. The solver's
+    dense normal equations scale as (6*N)^3; solving over the whole
+    1024-slot ring costs ~1.8 s on-chip when only a few dozen keyframes
+    exist. The caller picks the smallest tier >= the live keyframe
+    count; valid keyframes are gathered age-ordered into a (tier,)
+    problem and the optimized poses scattered back. tier<=0 or
+    tier>=F solves over the full ring (identical result, just without
+    the compaction permutation).
     """
     F = m.kf_valid.shape[0]
-    # order keyframes by frame id to build the odometry chain
+    if tier <= 0 or tier > F:
+        tier = F
+    # order keyframes by frame id; valid KFs first by age
     fid = jnp.where(m.kf_valid, m.kf_frame_id, jnp.iinfo(jnp.int32).max)
-    order = jnp.argsort(fid)                        # valid KFs first by age
+    order = jnp.argsort(fid)
     n_valid = jnp.sum(m.kf_valid)
+    # compact index of each ring slot (its age rank)
+    rank = jnp.zeros((F,), jnp.int32).at[order].set(
+        jnp.arange(F, dtype=jnp.int32))
 
-    # chain edges: order[e] -> order[e+1] for e < n_valid-1
+    sel = order[:tier]                              # ring slots, oldest first
+    valid_c = jnp.arange(tier) < n_valid
+    T_ring = m.kf_T_cw                               # pre-correction poses
+    Tc_pre = T_ring[sel]
+
+    # chain edges: compact e -> e+1 for e < n_valid-1
     # (measured BEFORE the rigid pre-correction: odometry constraints)
     E_loop = prev_loops_i.shape[0]
-    ei = order[jnp.arange(F - 1)]
-    ej = order[jnp.arange(1, F)]
-    chain_valid = jnp.arange(F - 1) < (n_valid - 1)
-    T_meas_chain = m.kf_T_cw[ej] @ se3.inv(m.kf_T_cw[ei])
+    ei = jnp.arange(tier - 1, dtype=jnp.int32)
+    ej = jnp.arange(1, tier, dtype=jnp.int32)
+    chain_valid = ei < (n_valid - 1)
+    T_meas_chain = Tc_pre[ej] @ se3.inv(Tc_pre[ei])
 
     # the new loop edge: measurement from the re-tracked pose
-    loop_T_new = T_cur_loop @ se3.inv(m.kf_T_cw[cand_slot])
+    loop_T_new = T_cur_loop @ se3.inv(T_ring[cand_slot])
 
     # rigid pre-correction (ORB-SLAM CorrectLoop): apply the loop
     # correction dT to the recent segment so LM starts near the optimum —
     # its small-step linearization cannot execute tens-of-meters moves
-    dT = T_cur_loop @ se3.inv(m.kf_T_cw[cur_slot])
-    rank = jnp.sum(fid[None, :] < fid[:, None], axis=1)
+    dT = T_cur_loop @ se3.inv(T_ring[cur_slot])
     seg = m.kf_valid & (rank > rank[cur_slot] - cfg.loop.correction_window)
     T_init = jnp.where(seg[:, None, None],
-                       se3.normalize(dT[None] @ m.kf_T_cw), m.kf_T_cw)
+                       se3.normalize(dT[None] @ T_ring), T_ring)
     m = m._replace(kf_T_cw=T_init)
 
-    edge_i = jnp.concatenate([ei, jnp.array([cand_slot], jnp.int32),
-                              prev_loops_i])
-    edge_j = jnp.concatenate([ej, jnp.array([cur_slot], jnp.int32),
-                              prev_loops_j])
+    # loop-edge endpoints mapped to compact indices; an endpoint outside
+    # the tier (stale prev-loop slot) invalidates its edge
+    li = jnp.concatenate([jnp.asarray([cand_slot], jnp.int32),
+                          prev_loops_i])
+    lj = jnp.concatenate([jnp.asarray([cur_slot], jnp.int32),
+                          prev_loops_j])
+    lv = jnp.concatenate([jnp.array([True]), prev_loops_valid])
+    lv = lv & (rank[li] < tier) & (rank[lj] < tier)
+    edge_i = jnp.concatenate([ei, jnp.minimum(rank[li], tier - 1)])
+    edge_j = jnp.concatenate([ej, jnp.minimum(rank[lj], tier - 1)])
     edge_T = jnp.concatenate([T_meas_chain, loop_T_new[None], prev_loops_T])
-    edge_valid = jnp.concatenate([chain_valid, jnp.array([True]),
-                                  prev_loops_valid])
+    edge_valid = jnp.concatenate([chain_valid, lv])
 
     info_row = jnp.asarray([cfg.loop.info_translation] * 3 +
                            [cfg.loop.info_rotation,
@@ -189,21 +212,23 @@ def close_loop(m: MapState, cur_slot: jnp.ndarray, cand_slot: jnp.ndarray,
     # de-weight odometry edges whose endpoints tracked poorly (a blind /
     # lost stretch must not outvote good loop edges; the reference has no
     # tracking-failure handling at all)
-    q = jnp.minimum(m.kf_quality[ei], m.kf_quality[ej])
+    qc = m.kf_quality[sel]
+    q = jnp.minimum(qc[ei], qc[ej])
     chain_scale = jnp.clip(q / (2.0 * cfg.tracker.min_matches), 0.01, 1.0)
     scale = jnp.concatenate([chain_scale,
                              jnp.ones(1 + E_loop, jnp.float32)])
     edge_info = edge_info * scale[:, None]
 
     prob = PoseGraphProblem(
-        T_cw=m.kf_T_cw,
-        pose_valid=m.kf_valid,
-        pose_fixed=(jnp.arange(F) == order[0]) | ~m.kf_valid,
+        T_cw=m.kf_T_cw[sel],
+        pose_valid=valid_c,
+        pose_fixed=(jnp.arange(tier) == 0) | ~valid_c,
         edge_i=edge_i, edge_j=edge_j, edge_T_ji=edge_T,
         edge_info=edge_info, edge_valid=edge_valid)
     T_opt = solve_pose_graph(prob, iters=cfg.loop.posegraph_iterations)
-    return m._replace(kf_T_cw=jnp.where(m.kf_valid[:, None, None],
-                                        T_opt, m.kf_T_cw))
+    new_T = m.kf_T_cw.at[sel].set(
+        jnp.where(valid_c[:, None, None], T_opt, m.kf_T_cw[sel]))
+    return m._replace(kf_T_cw=new_T)
 
 
 def merge_mappoints(m: MapState, cur_slot: jnp.ndarray,

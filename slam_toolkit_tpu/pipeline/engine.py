@@ -39,6 +39,8 @@ from slam_toolkit_tpu.mapping.map_state import (MapState, empty_map,
 
 
 MAX_CLOSED_LOOPS = 16
+# compact pose-graph problem sizes (see loop/closer.close_loop `tier`)
+_PG_TIERS = (32, 64, 128, 256, 512, 1024)
 
 
 class SlamEngine:
@@ -265,11 +267,22 @@ class SlamEngine:
 
             self._reloc_fn = _reloc
 
-            @jax.jit
-            def _close(m, cur, cand, T_loop, ci, cj, cT, cv):
+            @functools.partial(jax.jit, static_argnums=9)
+            def _close(m, cur, cand, T_loop, ci, cj, cT, cv, k, tier):
+                """Close + merge + record, ONE program. The loop
+                measurement (T_loop relative to the PRE-closure candidate
+                pose) and the closed-loop ring update used to run as
+                eager host ops with fresh python ints — each closure
+                compiled ~6 one-off remote programs (~15 s through this
+                environment's relay, profile_loop_stages.py). `tier`
+                (static) sizes the compact pose-graph solve to the live
+                keyframe count instead of the 1024-slot ring."""
+                loop_T = T_loop @ se3.inv(m.kf_T_cw[cand])
                 m = closer_mod.close_loop(m, cur, cand, T_loop, ci, cj, cT,
-                                          cv, cfg)
-                return closer_mod.merge_mappoints(m, cur, cand, cam, cfg)
+                                          cv, cfg, tier=tier)
+                m = closer_mod.merge_mappoints(m, cur, cand, cam, cfg)
+                return (m, ci.at[k].set(cand), cj.at[k].set(cur),
+                        cT.at[k].set(loop_T), cv.at[k].set(True))
 
             @functools.partial(jax.jit, donate_argnums=1)
             def _bow_register(m, bow_db, slots, slot_valid):
@@ -479,10 +492,24 @@ class SlamEngine:
         z = jnp.int32(0)
         outs = [self._covis(self.map, jnp.zeros((8,), jnp.int32))]
         outs.append(self._relpose(self.map, z, z))
-        outs.append(self._close(self.map, z, z, jnp.eye(4), self.closed_i,
-                                self.closed_j, self.closed_T,
-                                self.closed_valid))
+        # the two smallest pose-graph tiers cover typical closure-time
+        # keyframe counts; larger tiers compile on first use
+        for tier in _PG_TIERS[:2]:
+            outs.append(self._close(self.map, z, z, jnp.eye(4),
+                                    self.closed_i, self.closed_j,
+                                    self.closed_T, self.closed_valid, z,
+                                    min(tier, self.cfg.map.max_keyframes)))
         jax.block_until_ready(outs)
+
+    def _close_tier(self) -> int:
+        """Smallest pose-graph tier covering the live keyframe count
+        (+2 margin: the host mirror can lag the newest insert)."""
+        F = self.cfg.map.max_keyframes
+        need = min(self._n_kf_valid_host + 2, F)
+        for t in _PG_TIERS:
+            if need <= t <= F:
+                return t
+        return F
 
     # ----- loop closing (the mapping-thread work) ----------------------------
     def _loop_step(self, frame, slot: int):
@@ -547,17 +574,12 @@ class SlamEngine:
             rel = self._relpose(self.map, jnp.int32(slot), jnp.int32(cand))
             if not bool(rel.ok):
                 continue
-            # the loop *measurement* uses the pre-closure candidate pose
-            loop_T = rel.T_cw @ se3.inv(self.map.kf_T_cw[cand])
-            self.map = self._close(
+            k = self.n_closed % MAX_CLOSED_LOOPS
+            (self.map, self.closed_i, self.closed_j, self.closed_T,
+             self.closed_valid) = self._close(
                 self.map, jnp.int32(slot), jnp.int32(cand), rel.T_cw,
                 self.closed_i, self.closed_j, self.closed_T,
-                self.closed_valid)
-            k = self.n_closed % MAX_CLOSED_LOOPS
-            self.closed_i = self.closed_i.at[k].set(cand)
-            self.closed_j = self.closed_j.at[k].set(slot)
-            self.closed_T = self.closed_T.at[k].set(loop_T)
-            self.closed_valid = self.closed_valid.at[k].set(True)
+                self.closed_valid, jnp.int32(k), self._close_tier())
             self.n_closed += 1
             self.consistency.reset()
             self.loop_events.append(

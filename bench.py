@@ -227,7 +227,37 @@ def main():
     }))
 
 
+def _wait_for_tpu(attempts: int = 6, probe_timeout_s: int = 240) -> None:
+    """Bounded TPU-reachability gate. This environment's relay grants
+    the chip exclusively and a stale lease (e.g. a killed previous run)
+    blocks jax.devices() in an unbounded poll loop — which would hang
+    the driver's round-end bench forever. Probe in a subprocess with a
+    timeout, retrying while the lease expires; exit 1 with a legible
+    error if the chip never comes back."""
+    import subprocess
+    for i in range(attempts):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; jax.devices(); print('TPU_UP')"],
+                capture_output=True, text=True, timeout=probe_timeout_s)
+            if "TPU_UP" in r.stdout:
+                if i:
+                    sys.stderr.write(f"[bench] TPU up after {i} retries\n")
+                return
+            sys.stderr.write(f"[bench] TPU probe failed (attempt {i + 1}/"
+                             f"{attempts}): {r.stderr[-300:]}\n")
+        except subprocess.TimeoutExpired:
+            sys.stderr.write(f"[bench] TPU probe timed out (attempt "
+                             f"{i + 1}/{attempts}; stale chip lease?)\n")
+        time.sleep(30)
+    sys.stderr.write("[bench] FATAL: TPU unreachable — relay wedged or "
+                     "chip lease never released\n")
+    sys.exit(1)
+
+
 if __name__ == "__main__":
+    _wait_for_tpu()
     if os.environ.get("BENCH_LOOP"):
         main_loop()
     else:

@@ -86,13 +86,17 @@ def main():
     eng._dispatch = disp_wrap
 
     # also bucket the whole between-chunk loop pass and the fold readback
-    orig_loop = eng._loop_between_chunks
-    def loop_wrap(packed_np):
-        t0 = time.perf_counter()
-        orig_loop(packed_np)
-        BUCKETS["loop_between_chunks_total"] += time.perf_counter() - t0
-        COUNTS["loop_between_chunks_total"] += 1
-    eng._loop_between_chunks = loop_wrap
+    for nm in ("_loop_dispatch", "_consume_loop_entry"):
+        def mk(nm):
+            orig = getattr(eng, nm)
+            def wrap(*a, **k):
+                t0 = time.perf_counter()
+                out = orig(*a, **k)
+                BUCKETS[nm + "_total"] += time.perf_counter() - t0
+                COUNTS[nm + "_total"] += 1
+                return out
+            return wrap
+        setattr(eng, nm, mk(nm))
 
     orig_fold = eng._fold_one
     def fold_wrap():

@@ -285,26 +285,33 @@ class SlamEngine:
                         cT.at[k].set(loop_T), cv.at[k].set(True))
 
             @functools.partial(jax.jit, donate_argnums=1)
-            def _bow_register(m, bow_db, slots, slot_valid):
-                """BoW-compute + database-register + score a PADDED batch
-                of new keyframes in one dispatch. The scan engine's
+            def _bow_register(m, bow_db, packed):
+                """BoW-compute + database-register + score one chunk's
+                new keyframes in one dispatch. The scan engine's
                 between-chunk loop registration previously did this per
                 keyframe with eager ops (`kf_desc[slot]` gathers,
                 `bow_db.at[slot].set`) — each distinct python slot value
                 compiled a fresh remote program and paid a relay
                 round-trip, which dominated loop-mode wall time.
 
+                `packed` is the chunk program's (C, 36) device output —
+                slot/keyframe flags are sliced ON DEVICE (columns 32/34),
+                so registration costs zero host->device uploads.
+
                 Each query scores against the db AFTER the whole batch
                 registered (vs strictly-sequential registration); the
                 detector's min_kf_gap temporal gate excludes the batch
                 peers from candidacy anyway, so detection semantics are
                 unchanged."""
+                slots = packed[:, 32].astype(jnp.int32)
+                slot_valid = packed[:, 34] > 0.5
+
                 def bv(s):
                     desc = m.kf_desc[s].reshape(-1, 8)
                     return vocab_mod.bow_vector(voc, desc,
                                                 m.kf_kpt_valid[s])
-                qs = jax.vmap(bv)(slots)                      # (P, W)
-                # padded entries scatter out of bounds -> dropped
+                qs = jax.vmap(bv)(slots)                      # (C, W)
+                # non-keyframe rows scatter out of bounds -> dropped
                 F = bow_db.shape[0]
                 safe = jnp.where(slot_valid, slots, F)
                 db = bow_db.at[safe].set(qs)
@@ -526,26 +533,32 @@ class SlamEngine:
                              np.asarray(sc.scores))
 
     def _consume_scores(self, slot: int, cand_mask: np.ndarray,
-                        scores: np.ndarray):
+                        scores: np.ndarray, covis_of: Optional[dict] = None):
         """Host half of detection: consistency + closure, given the
         (already read back) candidate mask and score row for one new
         keyframe. Driven per-KF by _loop_kf_detect and per-chunk (scores
         precomputed in one batched _bow_register dispatch) by the scan
-        engine."""
+        engine, which also pre-fetches covisibility rows for the whole
+        chunk's candidates in one dispatch (covis_of: slot -> (F,) row)."""
         if self.n_keyframes < 3:
             return
         if not cand_mask.any():
             self.consistency.update([])
             return
         raw_slots = np.flatnonzero(cand_mask)
-        # one batched dispatch, padded to a multiple of 8 so candidate-
-        # count jitter doesn't recompile the vmapped program every call
         nc = len(raw_slots)
-        padn = 8 * ((nc + 7) // 8)
-        slots_pad = np.zeros(padn, np.int32)
-        slots_pad[:nc] = raw_slots
-        covis_rows = np.asarray(
-            self._covis(self.map, jnp.asarray(slots_pad)))[:nc]
+        if covis_of is not None and all(int(s) in covis_of
+                                        for s in raw_slots):
+            covis_rows = np.stack([covis_of[int(s)] for s in raw_slots])
+        else:
+            # one batched dispatch, padded to a multiple of 8 so
+            # candidate-count jitter doesn't recompile the vmapped
+            # program every call
+            padn = 8 * ((nc + 7) // 8)
+            slots_pad = np.zeros(padn, np.int32)
+            slots_pad[:nc] = raw_slots
+            covis_rows = np.asarray(
+                self._covis(self.map, jnp.asarray(slots_pad)))[:nc]
         # accumulate over covisibility groups, keep > 0.75 * best group
         # (ref src/pipeline_map.cpp:224-269; suppresses single-frame
         # BoW aliasing)

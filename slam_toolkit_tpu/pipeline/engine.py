@@ -79,7 +79,14 @@ class SlamEngine:
             self.closed_j = jnp.zeros(MAX_CLOSED_LOOPS, jnp.int32)
             self.closed_T = jnp.tile(jnp.eye(4), (MAX_CLOSED_LOOPS, 1, 1))
             self.closed_valid = jnp.zeros(MAX_CLOSED_LOOPS, bool)
+            self.closed_w = jnp.ones(MAX_CLOSED_LOOPS, jnp.float32)
             self.n_closed = 0
+            # (frame_cur, frame_cand, inliers) per closure, for the
+            # same-seam dedup gate (cfg.loop.closure_dedup_frames)
+            self._closed_pairs: list = []
+            # post-closure detection cooldown (ORB-SLAM2 mLastLoopKFid+10;
+            # the reference's unfinished last_loop_kf_)
+            self._last_closure_nkf = -(10 ** 9)
         self._compile()
 
     # ----- jitted programs -------------------------------------------------
@@ -267,8 +274,9 @@ class SlamEngine:
 
             self._reloc_fn = _reloc
 
-            @functools.partial(jax.jit, static_argnums=9)
-            def _close(m, cur, cand, T_loop, ci, cj, cT, cv, k, tier):
+            @functools.partial(jax.jit, static_argnums=12)
+            def _close(m, cur, cand, T_loop, ci, cj, cT, cv, cw, k, scale,
+                       q, tier):
                 """Close + merge + record, ONE program. The loop
                 measurement (T_loop relative to the PRE-closure candidate
                 pose) and the closed-loop ring update used to run as
@@ -276,13 +284,24 @@ class SlamEngine:
                 compiled ~6 one-off remote programs (~15 s through this
                 environment's relay, profile_loop_stages.py). `tier`
                 (static) sizes the compact pose-graph solve to the live
-                keyframe count instead of the 1024-slot ring."""
-                loop_T = T_loop @ se3.inv(m.kf_T_cw[cand])
+                keyframe count instead of the 1024-slot ring. `scale` is
+                the detected loop scale (RelPoseResult.scale), consumed
+                only under cfg.loop.pose_graph_group == "sim3"; `q` is
+                the relative-pose inlier count, turned into the loop
+                edge's information weight (and remembered in the `cw`
+                ring for replayed edges)."""
+                loop_T = closer_mod.loop_edge_measurement(
+                    m, cand, T_loop, scale, cfg)
+                w = jnp.clip(q / (2.0 * cfg.loop.min_matches),
+                             cfg.loop.loop_edge_min_weight, 1.0)
                 m = closer_mod.close_loop(m, cur, cand, T_loop, ci, cj, cT,
-                                          cv, cfg, tier=tier)
+                                          cv, cfg, tier=tier,
+                                          loop_scale=scale, loop_weight=w,
+                                          prev_loops_w=cw)
                 m = closer_mod.merge_mappoints(m, cur, cand, cam, cfg)
                 return (m, ci.at[k].set(cand), cj.at[k].set(cur),
-                        cT.at[k].set(loop_T), cv.at[k].set(True))
+                        cT.at[k].set(loop_T), cv.at[k].set(True),
+                        cw.at[k].set(w))
 
             @functools.partial(jax.jit, donate_argnums=1)
             def _bow_register(m, bow_db, packed):
@@ -504,7 +523,9 @@ class SlamEngine:
         for tier in _PG_TIERS[:2]:
             outs.append(self._close(self.map, z, z, jnp.eye(4),
                                     self.closed_i, self.closed_j,
-                                    self.closed_T, self.closed_valid, z,
+                                    self.closed_T, self.closed_valid,
+                                    self.closed_w, z, jnp.float32(1.0),
+                                    jnp.float32(100.0),
                                     min(tier, self.cfg.map.max_keyframes)))
         jax.block_until_ready(outs)
 
@@ -541,6 +562,14 @@ class SlamEngine:
         engine, which also pre-fetches covisibility rows for the whole
         chunk's candidates in one dispatch (covis_of: slot -> (F,) row)."""
         if self.n_keyframes < 3:
+            return
+        if (self.n_keyframes - self._last_closure_nkf
+                < self.cfg.loop.closure_cooldown_kfs):
+            # post-closure cooldown: the seam was just corrected; an
+            # immediate re-closure would re-inject measurement noise at
+            # full edge weight (ORB-SLAM2's mLastLoopKFid+10 gate; the
+            # reference's unfinished last_loop_kf_)
+            self.consistency.update([])
             return
         if not cand_mask.any():
             self.consistency.update([])
@@ -587,13 +616,27 @@ class SlamEngine:
             rel = self._relpose(self.map, jnp.int32(slot), jnp.int32(cand))
             if not bool(rel.ok):
                 continue
+            n_new = int(rel.n_inliers)
+            # same-seam dedup: if this pair re-measures an already-closed
+            # loop, only a STRONGER measurement may refine it (a weaker
+            # one re-injects noise into a corrected seam — measured
+            # 0.19 -> 0.89 m on the synthetic revisit circle)
+            fid_cand = int(np.asarray(self.map.kf_frame_id[cand]))
+            W = self.cfg.loop.closure_dedup_frames
+            if any(abs(self.frame_id - fj) <= W and
+                   abs(fid_cand - fi) <= W and n_new <= n_old
+                   for fj, fi, n_old in self._closed_pairs):
+                continue
             k = self.n_closed % MAX_CLOSED_LOOPS
             (self.map, self.closed_i, self.closed_j, self.closed_T,
-             self.closed_valid) = self._close(
+             self.closed_valid, self.closed_w) = self._close(
                 self.map, jnp.int32(slot), jnp.int32(cand), rel.T_cw,
                 self.closed_i, self.closed_j, self.closed_T,
-                self.closed_valid, jnp.int32(k), self._close_tier())
+                self.closed_valid, self.closed_w, jnp.int32(k), rel.scale,
+                rel.n_inliers.astype(jnp.float32), self._close_tier())
             self.n_closed += 1
+            self._last_closure_nkf = self.n_keyframes
+            self._closed_pairs.append((self.frame_id, fid_cand, n_new))
             self.consistency.reset()
             self.loop_events.append(
                 {"frame": self.frame_id, "kf_slot": slot, "cand": cand,

@@ -102,6 +102,58 @@ def test_closure_improves_seam_consistency(closed_run, circle_setup):
         f"closure didn't help: {seam_closed:.2f} vs open {seam_open:.2f}"
 
 
+def test_closure_never_degrades_low_drift_loop(circle_setup):
+    """Regression: on a LOW-drift revisit (no blind window) repeated
+    re-closures of the already-consistent seam used to walk it from
+    0.19 m to 5.9 m (each re-measurement injected its noise at full
+    edge weight; one 27-inlier edge carried a 3.8 m error). The
+    post-closure cooldown (the reference's unfinished last_loop_kf_,
+    ORB-SLAM2's mLastLoopKFid+10), the ORB-SLAM2 min_matches=40 gate,
+    the inlier-weighted loop edges, and the same-seam dedup must keep
+    the closed seam at least as good as the open-loop one."""
+    cfg, world, gt, frames, voc = circle_setup
+    # un-blind the drift window: this is the low-drift variant
+    clean = list(frames)
+    for i in range(24, 36):
+        clean[i] = render_stereo(world, gt[i])
+    eng = SlamEngine(cfg, vocab=voc)
+    for lf, rf in clean:
+        eng.process(lf, rf)
+    closures = [e for e in eng.loop_events if "cand" in e]
+    assert closures, "no closure on the clean revisit"
+    seam_closed = _seam_error(eng)
+    eng_open = SlamEngine(cfg)
+    for lf, rf in clean:
+        eng_open.process(lf, rf)
+    seam_open = _seam_error(eng_open)
+    assert seam_closed <= seam_open + 0.05, \
+        f"closure degraded a consistent map: {seam_closed:.2f} vs " \
+        f"open {seam_open:.2f}"
+
+
+def test_closure_sim3_mode(circle_setup):
+    """cfg.loop.pose_graph_group="sim3" (the reference's own TODO,
+    ref src/loopcloser.cpp:107) must close the same loop end-to-end:
+    the 7-DoF essential graph with a depth-ratio scale measurement.
+    On stereo data the detected scale is ~1, so the correction must
+    match the SE(3) graph's quality — this guards the full sim3 path
+    (scale estimate -> sim3 loop edge -> solver -> t/s conversion ->
+    invd rescale) against wiring regressions."""
+    import dataclasses
+
+    cfg, world, gt, frames, voc = circle_setup
+    cfg3 = dataclasses.replace(
+        cfg, loop=dataclasses.replace(cfg.loop, pose_graph_group="sim3"))
+    eng = SlamEngine(cfg3, vocab=voc)
+    for lf, rf in frames:
+        eng.process(lf, rf)
+    closures = [e for e in eng.loop_events if "cand" in e]
+    assert closures, f"no sim3 closure fired; events={eng.loop_events}"
+    seam = _seam_error(eng)
+    assert seam < 3.0, f"sim3-mode seam error {seam:.2f} m"
+    assert all(np.isfinite(T).all() for T in eng.trajectory_refined())
+
+
 def test_global_match_fallback_when_projection_finds_nothing():
     """FeatureVector-equivalent fallback (loop/closer.relative_pose):
     when the revisit viewpoint offset exceeds the projection gate the
@@ -130,10 +182,13 @@ def test_global_match_fallback_when_projection_finds_nothing():
     cand, cur = int(slots[0]), int(slots[-1])
 
     # 0.05 px radius: the projective seed cannot match anything, so only
-    # the global descriptor path can produce the relative pose
+    # the global descriptor path can produce the relative pose (accept
+    # threshold relaxed: this tiny 8-frame scene yields ~30 matches and
+    # the test targets the fallback mechanism, not the production gate)
     shut = dataclasses.replace(
         cfg, matcher=dataclasses.replace(cfg.matcher,
-                                         projection_radius=0.05))
+                                         projection_radius=0.05),
+        loop=dataclasses.replace(cfg.loop, min_matches=20))
     rel = relative_pose(m, jnp.int32(cur), jnp.int32(cand), cam, shut)
     assert bool(rel.ok), \
         f"global fallback failed: {int(rel.n_inliers)} inliers"

@@ -140,6 +140,109 @@ def main_loop():
     }))
 
 
+def main_dp():
+    """BENCH_DP=B: data-parallel variant — the FULL engine step (track +
+    keyframe cond + stereo supply + insert + cull + local BA) vmapped
+    over B independent sequences on one chip (parallel/mesh.py
+    multi_sequence_chunk; BASELINE.json config 5's single-chip half —
+    the mesh spreads the same program over devices with zero
+    collectives). Reports AGGREGATE frames/s across lanes: batching
+    fills the MXU better than one sequence can, so aggregate throughput
+    should exceed B-independent-runs of nothing and approach
+    B x single-sequence fps until the chip saturates."""
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    from slam_toolkit_tpu.config import SlamConfig
+    from slam_toolkit_tpu.data.synthetic import make_sequence
+    from slam_toolkit_tpu.evaluation.traj import ate_rmse
+    from slam_toolkit_tpu.parallel.mesh import (batched_bootstrap,
+                                                batched_empty_map,
+                                                multi_sequence_chunk)
+
+    # BENCH_TINY=1: tiny config on CPU — harness smoke test only
+    cfg = SlamConfig.tiny() if os.environ.get("BENCH_TINY") \
+        else SlamConfig()
+    B = int(os.environ.get("BENCH_DP", "4"))
+    chunk = int(os.environ.get("BENCH_CHUNK", "16"))
+    n_frames = int(os.environ.get("BENCH_FRAMES", "160"))
+    warmup_chunks = 3
+
+    cache = (f"/tmp/slam_bench_seq_v2_{n_frames}_{cfg.camera.width}x"
+             f"{cfg.camera.height}.npz")
+    t_setup = time.perf_counter()
+    if os.path.exists(cache + ".npy"):
+        stacked = np.load(cache + ".npy", mmap_mode="r")
+        gt = list(np.load(cache + ".gt.npy"))
+    else:
+        world, gt, frames = make_sequence(cfg, n_frames=n_frames, seed=7,
+                                          step=0.8)
+        stacked = np.stack([
+            np.stack([np.clip(l, 0, 255), np.clip(r, 0, 255)])
+            for l, r in frames]).astype(np.uint8)
+        np.save(cache + ".npy", stacked)
+        np.save(cache + ".gt.npy", np.stack(gt))
+    sys.stderr.write(f"[bench-dp] {n_frames} frames x {B} lanes staged in "
+                     f"{time.perf_counter() - t_setup:.1f}s\n")
+
+    from slam_toolkit_tpu.geometry.camera import StereoCamera
+    cam = StereoCamera.from_config(cfg.camera)
+    # every lane runs the same cached sequence (lanes share no state, so
+    # identical inputs measure the same work as distinct ones)
+    chunks = [jnp.broadcast_to(
+        jnp.asarray(stacked[i:i + chunk], jnp.float32)[:, None],
+        (min(chunk, n_frames - i), B, 2) + stacked.shape[2:])
+        for i in range(1, n_frames - (n_frames - 1) % chunk, chunk)]
+    chunks = [jnp.asarray(c) for c in chunks]
+    jax.block_until_ready(chunks)
+
+    boot = batched_bootstrap(cfg, cam)
+    first = jnp.broadcast_to(jnp.asarray(stacked[0], jnp.float32),
+                             (B, 2) + stacked.shape[2:])
+    carry = jax.jit(boot)(batched_empty_map(cfg, B),
+                          first[:, 0], first[:, 1])
+    step = multi_sequence_chunk(cfg, cam)
+
+    t0 = time.perf_counter()
+    packs = []
+    for c in chunks[:warmup_chunks]:
+        carry, packed = step(carry, c)
+        packs.append(packed)
+    jax.block_until_ready(packs[-1])
+    sys.stderr.write(f"[bench-dp] warmup (compile) in "
+                     f"{time.perf_counter() - t0:.1f}s\n")
+
+    t0 = time.perf_counter()
+    for c in chunks[warmup_chunks:]:
+        carry, packed = step(carry, c)
+        packs.append(packed)
+    jax.block_until_ready(packed)
+    dt = time.perf_counter() - t0
+    n_timed = sum(int(c.shape[0]) for c in chunks[warmup_chunks:])
+
+    rows = np.concatenate([np.asarray(p) for p in packs])  # (N, B, 36)
+    assert np.isfinite(rows).all(), "non-finite DP engine output"
+    # raw per-chunk poses of lane 0 (no anchor refinement): coarse
+    # accuracy sanity only
+    traj0 = [rows[i, 0, :16].reshape(4, 4) for i in range(rows.shape[0])]
+    ate = ate_rmse(traj0, gt[1:1 + len(traj0)], align=True)
+    agg_fps = B * n_timed / dt
+    sys.stderr.write(
+        f"[bench-dp] {n_timed} frames x {B} lanes in {dt:.2f}s — "
+        f"{agg_fps:.1f} aggregate fps ({n_timed / dt:.1f}/lane), "
+        f"lane-0 ATE {ate:.3f} m, "
+        f"keyframes/lane {int(np.asarray(carry.m.kf_valid.sum(-1))[0])}\n")
+    print(json.dumps({
+        "metric": f"kitti_scale_dp{B}_aggregate_fps",
+        "value": round(agg_fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(agg_fps / 500.0, 4),
+    }))
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -260,5 +363,7 @@ if __name__ == "__main__":
     _wait_for_tpu()
     if os.environ.get("BENCH_LOOP"):
         main_loop()
+    elif os.environ.get("BENCH_DP"):
+        main_dp()
     else:
         main()

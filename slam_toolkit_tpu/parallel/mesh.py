@@ -148,3 +148,32 @@ def multi_sequence_engine(cfg: SlamConfig, cam: StereoCamera, mesh: Mesh):
         return vbody(carry, lefts, rights)
 
     return jax.jit(batched_bootstrap(cfg, cam)), step
+
+
+def multi_sequence_chunk(cfg: SlamConfig, cam: StereoCamera):
+    """Chunked variant of multi_sequence_engine's step: lax.scan over C
+    frames of the vmapped full frame body, one dispatch per chunk per
+    ALL sequences — the DP counterpart of scan_engine.make_chunk_fn.
+    images: (C, B, 2, H, W); returns (carry, packed (C, B, 36)). The
+    carry is donated (same rationale as the single-sequence chunk: the
+    first in-place map update inside the scan must not force a copy of
+    every per-sequence map array)."""
+    import functools
+
+    from slam_toolkit_tpu.pipeline.scan_engine import make_frame_body
+
+    body = make_frame_body(cfg, cam)
+
+    def one(carry, left, right):
+        frame = build_frame(left, cam, cfg)
+        return body(carry, (frame, left, right))
+
+    vbody = jax.vmap(one)
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def chunk(carry, images):
+        def step(c, imgs):
+            return vbody(c, imgs[:, 0], imgs[:, 1])
+        return jax.lax.scan(step, carry, images)
+
+    return chunk

@@ -77,3 +77,25 @@ def test_sharding_held(dp_run):
     cfg, mesh, seqs, carry, packs = dp_run
     spec = carry.m.kf_T_cw.sharding.spec
     assert spec and spec[0] == "seq", f"batch axis not sharded: {spec}"
+
+
+def test_chunked_dp_matches_per_frame(dp_run):
+    """multi_sequence_chunk (lax.scan over the vmapped frame body — the
+    BENCH_DP dispatch granularity) must produce the same packed outputs
+    as per-frame stepping."""
+    cfg, mesh, seqs, carry0, packs = dp_run
+    cam = StereoCamera.from_config(cfg.camera)
+    lefts = np.stack([[l for l, _ in s[2]] for s in seqs])
+    rights = np.stack([[r for _, r in s[2]] for s in seqs])
+    maps = mesh_mod.shard_batch(mesh,
+                                mesh_mod.batched_empty_map(cfg, N_DEV))
+    boot, _ = mesh_mod.multi_sequence_engine(cfg, cam, mesh)
+    carry = boot(maps, jnp.asarray(lefts[:, 0]), jnp.asarray(rights[:, 0]))
+    chunk = mesh_mod.multi_sequence_chunk(cfg, cam)
+    # images (C, B, 2, H, W): frames 1..T-1 in one chunk
+    imgs = jnp.asarray(np.stack(
+        [np.stack([lefts[:, t], rights[:, t]], axis=1)
+         for t in range(1, lefts.shape[1])]))
+    carry, packed = chunk(carry, imgs)              # (C, B, 36)
+    got = np.transpose(np.asarray(packed), (1, 0, 2))   # (B, C, 36)
+    np.testing.assert_allclose(got, packs, rtol=1e-4, atol=1e-4)

@@ -42,10 +42,14 @@ def save(engine: "SlamEngine", path: str) -> None:
         arrays["closed_j"] = np.asarray(engine.closed_j)
         arrays["closed_T"] = np.asarray(engine.closed_T)
         arrays["closed_valid"] = np.asarray(engine.closed_valid)
+        arrays["closed_w"] = np.asarray(engine.closed_w)
     np.savez_compressed(path, **arrays)
     meta = {"frame_id": engine.frame_id,
             "n_keyframes": engine.n_keyframes,
             "n_closed": getattr(engine, "n_closed", 0),
+            "last_closure_nkf": getattr(engine, "_last_closure_nkf",
+                                        -(10 ** 9)),
+            "closed_pairs": getattr(engine, "_closed_pairs", []),
             "inlier_peak": getattr(engine, "_inlier_peak", 0.0),
             "frame_stats": engine.frame_stats,
             "loop_events": engine.loop_events}
@@ -75,6 +79,8 @@ def load(engine: "SlamEngine", path: str) -> "SlamEngine":
         engine.closed_j = jnp.asarray(z["closed_j"])
         engine.closed_T = jnp.asarray(z["closed_T"])
         engine.closed_valid = jnp.asarray(z["closed_valid"])
+        if "closed_w" in z.files:     # older checkpoints lack it
+            engine.closed_w = jnp.asarray(z["closed_w"])
     meta_path = (path_npz[:-4] if path_npz.endswith(".npz") else path_npz) \
         + ".json"
     if not os.path.exists(meta_path):
@@ -88,6 +94,9 @@ def load(engine: "SlamEngine", path: str) -> "SlamEngine":
     engine.loop_events = meta["loop_events"]
     if engine.vocab is not None:
         engine.n_closed = meta.get("n_closed", 0)
+        engine._last_closure_nkf = meta.get("last_closure_nkf", -(10 ** 9))
+        engine._closed_pairs = [tuple(p)
+                                for p in meta.get("closed_pairs", [])]
     if engine.n_keyframes > 0:
         engine._refresh_kf_mirrors()
     return engine

@@ -140,6 +140,36 @@ def main_loop():
     }))
 
 
+def _stage_frames(cfg, n_frames):
+    """Render-or-mmap the straight synthetic sequence shared by main()
+    and main_dp(): returns ((N, 2, H, W) uint8, gt list). Rendering
+    KITTI-size frames costs ~8 min on this 1-core host, so the result
+    is cached on disk."""
+    from slam_toolkit_tpu.data.synthetic import make_sequence
+    cache = os.environ.get(
+        "BENCH_CACHE",
+        f"/tmp/slam_bench_seq_v2_{n_frames}_{cfg.camera.width}x"
+        f"{cfg.camera.height}.npz")
+    t0 = time.perf_counter()
+    if cache and os.path.exists(cache + ".npy"):
+        stacked = np.load(cache + ".npy", mmap_mode="r")
+        gt = list(np.load(cache + ".gt.npy"))
+        sys.stderr.write(f"[bench] mapped {n_frames} cached frames in "
+                         f"{time.perf_counter() - t0:.1f}s\n")
+    else:
+        world, gt, frames = make_sequence(cfg, n_frames=n_frames, seed=7,
+                                          step=0.8)
+        stacked = np.stack([
+            np.stack([np.clip(l, 0, 255), np.clip(r, 0, 255)])
+            for l, r in frames]).astype(np.uint8)
+        sys.stderr.write(f"[bench] rendered {n_frames} frames in "
+                         f"{time.perf_counter() - t0:.1f}s\n")
+        if cache:
+            np.save(cache + ".npy", stacked)
+            np.save(cache + ".gt.npy", np.stack(gt))
+    return stacked, gt
+
+
 def main_dp():
     """BENCH_DP=B: data-parallel variant — the FULL engine step (track +
     keyframe cond + stereo supply + insert + cull + local BA) vmapped
@@ -157,7 +187,6 @@ def main_dp():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     from slam_toolkit_tpu.config import SlamConfig
-    from slam_toolkit_tpu.data.synthetic import make_sequence
     from slam_toolkit_tpu.evaluation.traj import ate_rmse
     from slam_toolkit_tpu.parallel.mesh import (batched_bootstrap,
                                                 batched_empty_map,
@@ -171,32 +200,22 @@ def main_dp():
     n_frames = int(os.environ.get("BENCH_FRAMES", "160"))
     warmup_chunks = 3
 
-    cache = (f"/tmp/slam_bench_seq_v2_{n_frames}_{cfg.camera.width}x"
-             f"{cfg.camera.height}.npz")
-    t_setup = time.perf_counter()
-    if os.path.exists(cache + ".npy"):
-        stacked = np.load(cache + ".npy", mmap_mode="r")
-        gt = list(np.load(cache + ".gt.npy"))
-    else:
-        world, gt, frames = make_sequence(cfg, n_frames=n_frames, seed=7,
-                                          step=0.8)
-        stacked = np.stack([
-            np.stack([np.clip(l, 0, 255), np.clip(r, 0, 255)])
-            for l, r in frames]).astype(np.uint8)
-        np.save(cache + ".npy", stacked)
-        np.save(cache + ".gt.npy", np.stack(gt))
-    sys.stderr.write(f"[bench-dp] {n_frames} frames x {B} lanes staged in "
-                     f"{time.perf_counter() - t_setup:.1f}s\n")
+    stacked, gt = _stage_frames(cfg, n_frames)
 
     from slam_toolkit_tpu.geometry.camera import StereoCamera
     cam = StereoCamera.from_config(cfg.camera)
     # every lane runs the same cached sequence (lanes share no state, so
-    # identical inputs measure the same work as distinct ones)
-    chunks = [jnp.broadcast_to(
+    # identical inputs measure the same work as distinct ones). Frame 0
+    # bootstraps; the ragged tail is dropped so every chunk keeps the
+    # compiled shape (a short tail chunk would recompile mid-run).
+    n_full = (n_frames - 1) // chunk * chunk
+    if n_full < n_frames - 1:
+        sys.stderr.write(f"[bench-dp] dropping {n_frames - 1 - n_full} "
+                         f"tail frames (not a full {chunk}-chunk)\n")
+    chunks = [jnp.asarray(jnp.broadcast_to(
         jnp.asarray(stacked[i:i + chunk], jnp.float32)[:, None],
-        (min(chunk, n_frames - i), B, 2) + stacked.shape[2:])
-        for i in range(1, n_frames - (n_frames - 1) % chunk, chunk)]
-    chunks = [jnp.asarray(c) for c in chunks]
+        (chunk, B, 2) + stacked.shape[2:]))
+        for i in range(1, 1 + n_full, chunk)]
     jax.block_until_ready(chunks)
 
     boot = batched_bootstrap(cfg, cam)
@@ -255,7 +274,6 @@ def main():
 
 
     from slam_toolkit_tpu.config import SlamConfig
-    from slam_toolkit_tpu.data.synthetic import make_sequence
     from slam_toolkit_tpu.evaluation.traj import ate_rmse
     from slam_toolkit_tpu.pipeline.scan_engine import ChunkedSlamEngine
 
@@ -265,31 +283,7 @@ def main():
     # recompile the scan inside the timed window
     n_frames = int(os.environ.get("BENCH_FRAMES", "160"))
     warmup_chunks = 3
-    t_setup = time.perf_counter()
-    # rendering 160 KITTI-size frames in host numpy costs ~8 min on a
-    # 1-core box; cache the rendered sequence on disk (uint8, ~75 MB)
-    cache = os.environ.get(
-        "BENCH_CACHE",
-        f"/tmp/slam_bench_seq_v2_{n_frames}_{cfg.camera.width}x"
-        f"{cfg.camera.height}.npz")
-    if cache and os.path.exists(cache + ".npy"):
-        # one uncompressed (N, 2, H, W) uint8 .npy, mmapped: near-zero
-        # host cost (the float conversion happens per-chunk on upload)
-        stacked = np.load(cache + ".npy", mmap_mode="r")
-        gt = list(np.load(cache + ".gt.npy"))
-        sys.stderr.write(f"[bench] mapped {n_frames} cached frames in "
-                         f"{time.perf_counter() - t_setup:.1f}s\n")
-    else:
-        world, gt, frames = make_sequence(cfg, n_frames=n_frames, seed=7,
-                                          step=0.8)
-        stacked = np.stack([
-            np.stack([np.clip(l, 0, 255), np.clip(r, 0, 255)])
-            for l, r in frames]).astype(np.uint8)
-        sys.stderr.write(f"[bench] rendered {n_frames} frames in "
-                         f"{time.perf_counter() - t_setup:.1f}s\n")
-        if cache:
-            np.save(cache + ".npy", stacked)
-            np.save(cache + ".gt.npy", np.stack(gt))
+    stacked, gt = _stage_frames(cfg, n_frames)
     chunks = []
     for i in range(0, n_frames, chunk):
         chunks.append(jnp.asarray(stacked[i:i + chunk], jnp.float32))

@@ -200,6 +200,11 @@ class LoopConfig:
     #                                   circle, a 27-inlier edge carried a
     #                                   3.8 m relative error and walked the
     #                                   loop seam from 1.3 to 6 m
+    reloc_min_matches: int = 25       # relocalization acceptance — laxer
+    #                                   than min_matches: a weak re-track
+    #                                   still beats a blind constant-
+    #                                   velocity prediction, whereas a
+    #                                   weak LOOP EDGE corrupts the graph
     closure_cooldown_kfs: int = 10    # suppress detection for this many
     #                                   keyframes after a closure —
     #                                   ORB-SLAM2's mLastLoopKFid+10 gate;

@@ -40,10 +40,13 @@ class RelPoseResult(NamedTuple):
     T_cw: jnp.ndarray      # corrected pose of the current keyframe
     n_inliers: jnp.ndarray
     ok: jnp.ndarray
-    scale: jnp.ndarray = jnp.float32(1.0)
+    scale: float = 1.0     # plain-float default: a jnp default here
+    #                        would initialize the JAX backend at module
+    #                        import (this environment's TPU relay can
+    #                        block on that)
     # ^ detected relative scale current-map / candidate-map (median of
-    #   matched-landmark depth ratios); 1 when too few pairs. Only the
-    #   Sim(3) pose graph consumes it.
+    #   matched-landmark depth ratios); 1 when too few pairs or under
+    #   pure SE(3) operation. Only the Sim(3) pose graph consumes it.
 
 
 def _kf_features(m: MapState, slot: jnp.ndarray) -> FrameFeatures:
@@ -124,9 +127,11 @@ def _loop_scale(m: MapState, cur_slot, kpt, inlier, d_cand, cfg):
     depth in the current keyframe (drifted local scale) with the
     candidate landmark's depth in the re-tracked frame (candidate
     scale). The masked median ratio is the scale estimate; 1.0 when
-    fewer than cfg.loop.min_scale_pairs pairs exist (always the case
-    under pure SE(3) operation, where the estimate is never consumed).
-    """
+    fewer than cfg.loop.min_scale_pairs pairs exist. Skipped entirely
+    (constant 1.0, no gathers/sort traced) under pure SE(3) operation,
+    where the estimate is never consumed."""
+    if cfg.loop.pose_graph_group != "sim3":
+        return jnp.float32(1.0)
     ids_cur = m.kf_obs[cur_slot][kpt]                     # (L,)
     safe_cur = jnp.where(ids_cur >= 0, ids_cur, 0)
     pair_ok = inlier & (ids_cur >= 0) & m.mp_valid[safe_cur]
@@ -165,8 +170,11 @@ def relocalize_frame(m: MapState, frame_feats: FrameFeatures,
     err = jnp.linalg.norm(uv - frame_feats.xy[kpt], axis=-1)
     inlier = match.ok & (Xc[..., 2] > 0) & (err <= cfg.tracker.reprojection_px)
     n = jnp.sum(inlier)
+    # relocalization has its own (laxer) gate: min_matches guards the
+    # POSE GRAPH against weak loop edges, but a 25-inlier re-track is
+    # far better than staying on a blind constant-velocity prediction
     return RelPoseResult(T_cw=res.T_cw, n_inliers=n,
-                         ok=n >= cfg.loop.min_matches)
+                         ok=n >= cfg.loop.reloc_min_matches)
 
 
 def loop_edge_measurement(m: MapState, cand_slot: jnp.ndarray,

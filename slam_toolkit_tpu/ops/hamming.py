@@ -15,7 +15,9 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-BIG = jnp.float32(1e9)  # sentinel distance for masked-out pairs
+BIG = 1e9  # sentinel distance for masked-out pairs (plain float: a jnp
+#            constant here would initialize the JAX backend at import —
+#            this environment's TPU relay can block on that)
 
 
 def unpack_pm1(desc: jnp.ndarray) -> jnp.ndarray:

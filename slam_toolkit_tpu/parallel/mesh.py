@@ -133,6 +133,19 @@ def multi_sequence_engine(cfg: SlamConfig, cam: StereoCamera, mesh: Mesh):
     `seq` (shard_batch) and XLA partitions the whole program with zero
     cross-device communication.
     """
+    vbody = _vmapped_frame_body(cfg, cam)
+
+    @jax.jit
+    def step(carry, lefts, rights):
+        return vbody(carry, lefts, rights)
+
+    return jax.jit(batched_bootstrap(cfg, cam)), step
+
+
+def _vmapped_frame_body(cfg: SlamConfig, cam: StereoCamera):
+    """The full per-frame engine body (scan_engine.make_frame_body)
+    vmapped over the sequence axis — shared by the per-frame and
+    chunked DP steps so the two paths cannot diverge."""
     from slam_toolkit_tpu.pipeline.scan_engine import make_frame_body
 
     body = make_frame_body(cfg, cam)
@@ -141,13 +154,7 @@ def multi_sequence_engine(cfg: SlamConfig, cam: StereoCamera, mesh: Mesh):
         frame = build_frame(left, cam, cfg)
         return body(carry, (frame, left, right))
 
-    vbody = jax.vmap(one)
-
-    @jax.jit
-    def step(carry, lefts, rights):
-        return vbody(carry, lefts, rights)
-
-    return jax.jit(batched_bootstrap(cfg, cam)), step
+    return jax.vmap(one)
 
 
 def multi_sequence_chunk(cfg: SlamConfig, cam: StereoCamera):
@@ -160,15 +167,7 @@ def multi_sequence_chunk(cfg: SlamConfig, cam: StereoCamera):
     every per-sequence map array)."""
     import functools
 
-    from slam_toolkit_tpu.pipeline.scan_engine import make_frame_body
-
-    body = make_frame_body(cfg, cam)
-
-    def one(carry, left, right):
-        frame = build_frame(left, cam, cfg)
-        return body(carry, (frame, left, right))
-
-    vbody = jax.vmap(one)
+    vbody = _vmapped_frame_body(cfg, cam)
 
     @functools.partial(jax.jit, donate_argnums=0)
     def chunk(carry, images):

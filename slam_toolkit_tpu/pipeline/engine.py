@@ -290,14 +290,26 @@ class SlamEngine:
                 the relative-pose inlier count, turned into the loop
                 edge's information weight (and remembered in the `cw`
                 ring for replayed edges)."""
-                loop_T = closer_mod.loop_edge_measurement(
-                    m, cand, T_loop, scale, cfg)
                 w = jnp.clip(q / (2.0 * cfg.loop.min_matches),
                              cfg.loop.loop_edge_min_weight, 1.0)
+                # SE3 ring record: the raw measurement relative to the
+                # PRE-correction candidate pose (the frame the re-track
+                # was expressed in); it stays valid because SE3 closing
+                # never rescales the map
+                loop_T_se3 = T_loop @ se3.inv(m.kf_T_cw[cand])
                 m = closer_mod.close_loop(m, cur, cand, T_loop, ci, cj, cT,
                                           cv, cfg, tier=tier,
                                           loop_scale=scale, loop_weight=w,
                                           prev_loops_w=cw)
+                if cfg.loop.pose_graph_group == "sim3":
+                    # record the ring edge POST-correction at UNIT scale:
+                    # close_loop just rescaled anchored depths (invd * s),
+                    # so the map is metric again — replaying the original
+                    # scaled measurement in a later solve would assert the
+                    # (already removed) drift and re-multiply invd by it
+                    loop_T = m.kf_T_cw[cur] @ se3.inv(m.kf_T_cw[cand])
+                else:
+                    loop_T = loop_T_se3
                 m = closer_mod.merge_mappoints(m, cur, cand, cam, cfg)
                 return (m, ci.at[k].set(cand), cj.at[k].set(cur),
                         cT.at[k].set(loop_T), cv.at[k].set(True),

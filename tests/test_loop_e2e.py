@@ -152,6 +152,14 @@ def test_closure_sim3_mode(circle_setup):
     seam = _seam_error(eng)
     assert seam < 3.0, f"sim3-mode seam error {seam:.2f} m"
     assert all(np.isfinite(T).all() for T in eng.trajectory_refined())
+    # the closed-loop ring must record POST-correction UNIT-scale edges:
+    # close_loop rescales anchored depths, so replaying the original
+    # scaled measurement in a later solve would re-assert the removed
+    # drift and re-multiply invd by it
+    from slam_toolkit_tpu.geometry import sim3 as sim3_mod
+    rec = np.asarray(sim3_mod.scale_of(eng.closed_T))
+    valid = np.asarray(eng.closed_valid)
+    np.testing.assert_allclose(rec[valid], 1.0, atol=1e-4)
 
 
 def test_global_match_fallback_when_projection_finds_nothing():

@@ -73,6 +73,19 @@ class KittiDataset:
     def ground_truth(self) -> List[np.ndarray]:
         return self.T_cw
 
+    def camera_config(self) -> CameraConfig:
+        """Camera intrinsics for this sequence: the hardcoded standard
+        KITTI calibration at the standard resolution (ref
+        src/dataset.cpp:87-105); the tiny synthetic camera for the
+        checked-in mini fixture's size."""
+        h, w = self[0][0].shape
+        if (h, w) == (KITTI_CAMERA.height, KITTI_CAMERA.width):
+            return KITTI_CAMERA
+        if (h, w) == (SlamConfig.tiny().camera.height,
+                      SlamConfig.tiny().camera.width):
+            return SlamConfig.tiny().camera
+        raise ValueError(f"no builtin calibration for {w}x{h} frames")
+
     def prefetch_loader(self, height: int = 376, width: int = 1241,
                         ring: int = 4):
         """Native background-decoding iterator over stereo pairs

@@ -150,18 +150,28 @@ class DenseTracker:
 
         clusters = []
         if self.prev_frame is not None:
-            # rigid-model fit per cluster: previous 3D vs current rays
-            prev_xyz = self.prev_frame.pts_xyz
+            # rigid-model fit per cluster: CURRENT 3D (from disparity)
+            # against the flow-warped PREVIOUS pixel rays — the
+            # reference's EpipPoint pairing (img0 = img1 - flow, obj1
+            # from current disparity; ref tracker.cpp:166-200), fit per
+            # cluster by PnP-RANSAC (:518-693). The recovered T maps
+            # current camera coords to the previous camera: inverse
+            # per-cluster motion.
             uv = f.pts_uv
-            cur_norm = jnp.stack(
-                [(uv[:, 0] - self.cam.cx) / self.cam.fx,
-                 (uv[:, 1] - self.cam.cy) / self.cam.fy], axis=-1)
+            iy = jnp.clip(uv[:, 1].astype(jnp.int32), 0, gl.shape[0] - 1)
+            ix = jnp.clip(uv[:, 0].astype(jnp.int32), 0, gl.shape[1] - 1)
+            prev_uv = uv - f.flow[iy, ix]
+            in_img = ((prev_uv[:, 0] >= 0) & (prev_uv[:, 0] < gl.shape[1])
+                      & (prev_uv[:, 1] >= 0) & (prev_uv[:, 1] < gl.shape[0]))
+            prev_norm = jnp.stack(
+                [(prev_uv[:, 0] - self.cam.cx) / self.cam.fx,
+                 (prev_uv[:, 1] - self.cam.cy) / self.cam.fy], axis=-1)
             key = jax.random.PRNGKey(self.frame_idx)
             for ci, u in enumerate(uniq):
-                member = jnp.asarray(lab == u) & self.prev_frame.pts_valid
+                member = jnp.asarray(lab == u) & f.pts_valid & in_img
                 if int(member.sum()) < 8:
                     continue
-                res = self._rigid(prev_xyz, cur_norm, member,
+                res = self._rigid(f.pts_xyz, prev_norm, member,
                                   jax.random.fold_in(key, ci))
                 clusters.append({
                     "label": u, "size": int((lab == u).sum()),

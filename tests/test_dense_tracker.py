@@ -56,5 +56,16 @@ def test_dense_tracker_runs_and_segments():
     out2 = tr.track(*make_scene(2))
     assert not out2["skipped"], out2
     assert out2["n_points"] > 50
-    # at least one cluster found and rigid-fit attempted
-    assert isinstance(out2["clusters"], list)
+    fits = [c for c in out2["clusters"] if c["ok"]]
+    assert len(fits) >= 2, out2["clusters"]
+    # per-cluster rigid motion (reference EpipPoint pairing: current 3D
+    # vs flow-warped previous rays): the static background must fit
+    # ~identity; the box (3 px/frame at z=8, fx=120 -> ~0.2 m/frame)
+    # must fit a clearly x-dominant negative translation (T maps current
+    # camera coords to the previous camera)
+    fits.sort(key=lambda c: -c["size"])
+    t_bg = np.asarray(fits[0]["T"])[:3, 3]
+    t_box = np.asarray(fits[1]["T"])[:3, 3]
+    assert np.linalg.norm(t_bg) < 0.05, t_bg
+    assert t_box[0] < -0.1, t_box
+    assert abs(t_box[0]) > 1.5 * max(abs(t_box[1]), abs(t_box[2])), t_box

@@ -130,12 +130,21 @@ def write_back(m: MapState, res: BAResult, window: jnp.ndarray,
     ref = m.mp_ref_kf[pt_ids]
     z_ref = se3.transform(kf_T_cw[ref], res.Xw)[..., 2]
     invd_new = 1.0 / jnp.maximum(z_ref, 1e-3)
+    # a point optimized to BEHIND its anchor (z_ref <= 0) has no valid
+    # inverse-depth encoding — clamping it used to teleport the landmark
+    # to 1 mm in front of the anchor, where it kept polluting matching;
+    # invalidate it instead (the reference throws on negative depth,
+    # src/frame.cpp:401-403 — here a mask write is the fail-safe form)
+    behind = pt_valid & (z_ref <= 1e-3)
     # dump invalid writes into a padding slot (index M), then slice it off
     M = m.mp_valid.shape[0]
     dump_ids = jnp.where(pt_valid, pt_ids, M)
     mp_invd = jnp.concatenate([m.mp_invd, jnp.zeros(1)]) \
         .at[dump_ids].set(invd_new)[:M]
-    return m._replace(kf_T_cw=kf_T_cw, mp_invd=mp_invd)
+    kill_ids = jnp.where(behind, pt_ids, M)
+    mp_valid = jnp.concatenate([m.mp_valid, jnp.zeros(1, bool)]) \
+        .at[kill_ids].set(False)[:M]
+    return m._replace(kf_T_cw=kf_T_cw, mp_invd=mp_invd, mp_valid=mp_valid)
 
 
 def local_ba_step(m: MapState, cam: StereoCamera, cfg: SlamConfig) -> MapState:

@@ -71,11 +71,14 @@ def cull_keyframe(m: MapState, slot: jnp.ndarray) -> MapState:
                         (alt - 1) // K, m.mp_ref_kf)
     new_kpt = jnp.where(anchored_here & has_alt,
                         (alt - 1) % K, m.mp_kpt)
-    # recompute inverse depth along the new anchor ray
+    # recompute inverse depth along the new anchor ray; a landmark that
+    # lands BEHIND its new anchor cannot be re-encoded — drop it rather
+    # than clamping it to 1 mm depth (same guard as ba_adapter.write_back)
     z_new = se3.transform(m.kf_T_cw[new_ref], Xw)[..., 2]
     new_invd = jnp.where(anchored_here & has_alt,
                          1.0 / jnp.maximum(z_new, 1e-3), m.mp_invd)
-    new_valid = m.mp_valid & ~(anchored_here & ~has_alt)
+    behind = anchored_here & has_alt & (z_new <= 1e-3)
+    new_valid = m.mp_valid & ~(anchored_here & ~has_alt) & ~behind
 
     # decrement observation counts for everything this keyframe saw
     seen = jnp.where(m.kf_obs[slot] >= 0, m.kf_obs[slot], M)

@@ -202,7 +202,6 @@ def insert_keyframe(m: MapState, frame: FrameState, T_cw: jnp.ndarray,
     slot = jnp.argmin(m.kf_valid.astype(jnp.int32))  # first free KF slot
 
     # --- record tracked observations: kpt k of this KF sees mp_ids[i] ---
-    obs_row = jnp.full((K,), -1, jnp.int32)
     scatter_kpt = jnp.where(mp_tracked, mp_kpt, K)   # K = dropped
     obs_row = jnp.zeros((K + 1,), jnp.int32).at[:K].set(-1) \
         .at[scatter_kpt].set(jnp.where(mp_tracked, mp_ids, -1))[:K]

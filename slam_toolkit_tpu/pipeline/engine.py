@@ -61,6 +61,7 @@ class SlamEngine:
         self.velocity = jnp.eye(4)          # dT: T_cur = dT @ T_prev
         self.frame_id = 0
         self.n_keyframes = 0
+        self._tier_margin = 2           # see _close_tier
         self.trajectory: List[np.ndarray] = []      # poses as processed
         # keyframe-anchored trajectory: (kf_slot, T_frame . T_kf^-1) per
         # frame, so loop-closure corrections to keyframes retro-correct
@@ -542,10 +543,14 @@ class SlamEngine:
         jax.block_until_ready(outs)
 
     def _close_tier(self) -> int:
-        """Smallest pose-graph tier covering the live keyframe count
-        (+2 margin: the host mirror can lag the newest insert)."""
+        """Smallest pose-graph tier covering the live keyframe count,
+        plus _tier_margin: 2 for this engine (the host mirror can lag
+        the newest insert); the chunked scan engine raises it to cover
+        keyframes its in-flight chunks may have inserted beyond the
+        mirror — a too-small tier would exclude the newest keyframes
+        from the closure solve."""
         F = self.cfg.map.max_keyframes
-        need = min(self._n_kf_valid_host + 2, F)
+        need = min(self._n_kf_valid_host + self._tier_margin, F)
         for t in _PG_TIERS:
             if need <= t <= F:
                 return t
@@ -566,13 +571,17 @@ class SlamEngine:
                              np.asarray(sc.scores))
 
     def _consume_scores(self, slot: int, cand_mask: np.ndarray,
-                        scores: np.ndarray, covis_of: Optional[dict] = None):
+                        scores: np.ndarray, covis_of: Optional[dict] = None,
+                        frame_id: Optional[int] = None):
         """Host half of detection: consistency + closure, given the
         (already read back) candidate mask and score row for one new
         keyframe. Driven per-KF by _loop_kf_detect and per-chunk (scores
         precomputed in one batched _bow_register dispatch) by the scan
         engine, which also pre-fetches covisibility rows for the whole
-        chunk's candidates in one dispatch (covis_of: slot -> (F,) row)."""
+        chunk's candidates in one dispatch (covis_of: slot -> (F,) row)
+        and passes the keyframe's own frame_id (self.frame_id already
+        points past the folded chunk there)."""
+        fid = self.frame_id if frame_id is None else frame_id
         if self.n_keyframes < 3:
             return
         if (self.n_keyframes - self._last_closure_nkf
@@ -635,7 +644,7 @@ class SlamEngine:
             # 0.19 -> 0.89 m on the synthetic revisit circle)
             fid_cand = int(np.asarray(self.map.kf_frame_id[cand]))
             W = self.cfg.loop.closure_dedup_frames
-            if any(abs(self.frame_id - fj) <= W and
+            if any(abs(fid - fj) <= W and
                    abs(fid_cand - fi) <= W and n_new <= n_old
                    for fj, fi, n_old in self._closed_pairs):
                 continue
@@ -648,10 +657,10 @@ class SlamEngine:
                 rel.n_inliers.astype(jnp.float32), self._close_tier())
             self.n_closed += 1
             self._last_closure_nkf = self.n_keyframes
-            self._closed_pairs.append((self.frame_id, fid_cand, n_new))
+            self._closed_pairs.append((fid, fid_cand, n_new))
             self.consistency.reset()
             self.loop_events.append(
-                {"frame": self.frame_id, "kf_slot": slot, "cand": cand,
+                {"frame": fid, "kf_slot": slot, "cand": cand,
                  "inliers": int(rel.n_inliers)})
             break
 

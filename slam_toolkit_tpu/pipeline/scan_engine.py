@@ -200,6 +200,13 @@ class ChunkedSlamEngine:
                  cam: Optional[StereoCamera] = None, vocab=None,
                  chunk_size: int = 8):
         self.cfg = cfg or SlamConfig()
+        if self.cfg.tracker.method == "direct":
+            # the scan body tracks indirectly; the photometric anchor
+            # image cannot live in the fixed-shape carry. Fail loudly
+            # instead of silently tracking with the wrong method.
+            raise NotImplementedError(
+                "tracker.method='direct' is only supported by the "
+                "per-frame SlamEngine (pipeline/engine.py)")
         self.cam = cam or StereoCamera.from_config(self.cfg.camera)
         self.vocab = vocab
         self.chunk_size = chunk_size
@@ -231,9 +238,15 @@ class ChunkedSlamEngine:
         # reuse the classic engine for bootstrap + loop/cull machinery
         from slam_toolkit_tpu.pipeline.engine import SlamEngine
         self._host = SlamEngine(self.cfg, self.cam, vocab=vocab)
+        # the pose-graph tier must cover keyframes the in-flight chunks
+        # may have inserted beyond the host mirror's count
+        self._host._tier_margin = 2 + self._queue_depth * chunk_size
         self.trajectory: List[np.ndarray] = []
         self._traj_anchor: List[tuple] = []
         self.frame_stats: List[dict] = []
+        # rows folded by _ensure_headroom's internal flush, owed to the
+        # caller on the next process_chunk/flush return
+        self._owed_rows: List[np.ndarray] = []
 
     @property
     def map(self) -> MapState:
@@ -285,12 +298,12 @@ class ChunkedSlamEngine:
             if len(images) == 0:
                 return np.zeros((0, PACK_WIDTH), np.float32)
 
-        self._ensure_headroom()
+        self._ensure_headroom(len(images))
         imgs = images if isinstance(images, jnp.ndarray) \
             else jnp.asarray(images, jnp.float32)
         self._dispatch(imgs, t0)
 
-        rows = []
+        rows, self._owed_rows = self._owed_rows, []
         while len(self._pending) > self._queue_depth:
             rows.append(self._fold_one())
         if self._replay_needed:
@@ -365,8 +378,8 @@ class ChunkedSlamEngine:
     def flush(self) -> np.ndarray:
         """Drain every in-flight chunk (no-op when nothing is pending).
         Loop-score entries are 1:1 with pending chunks and drain with
-        them."""
-        rows = []
+        them. Rows folded early by _ensure_headroom are returned here."""
+        rows, self._owed_rows = self._owed_rows, []
         while self._pending:
             rows.append(self._fold_one())
             if self._replay_needed:
@@ -391,7 +404,12 @@ class ChunkedSlamEngine:
         h.frame_id += len(packed_np)
         n_new_kf = int(packed_np[:, 34].sum())
         h.n_keyframes += n_new_kf
-        h._n_kf_valid_host += n_new_kf
+        if not p.get("counted", False):
+            # a _refresh_kf_mirrors (closure / cull) may have recounted
+            # the valid keyframes from the map, which already contains
+            # this chunk's insertions — adding them again would inflate
+            # the mirror and force spurious capacity culls
+            h._n_kf_valid_host += n_new_kf
         h._latest_slot_host = int(packed_np[-1, 32])
 
         dt_ms = 1000.0 * (time.perf_counter() - p["t0"]) \
@@ -411,16 +429,21 @@ class ChunkedSlamEngine:
             self._consume_loop_entry(self._loop_queue.pop(0), packed_np)
         return packed_np
 
-    def _ensure_headroom(self):
+    def _ensure_headroom(self, n_next: int):
         """Cull redundant keyframes when the ring nears capacity (the scan
-        program inserts blindly; headroom must exist before dispatch)."""
+        program inserts blindly; headroom must exist before dispatch).
+        n_next: frame count of the batch about to be dispatched — every
+        frame of it may become a keyframe."""
         h = self._host
         cap = self.cfg.map.max_keyframes
-        est = h._n_kf_valid_host + self.chunk_size * len(self._pending)
-        if est < cap - self.chunk_size - 2:
+        in_flight = sum(p["n"] for p in self._pending)
+        est = h._n_kf_valid_host + in_flight
+        if est < cap - n_next - 2:
             return
-        self.flush()                     # mirrors must be fresh to cull
-        while h._n_kf_valid_host >= cap - self.chunk_size - 2:
+        rows = self.flush()              # mirrors must be fresh to cull
+        if len(rows):
+            self._owed_rows.append(rows)
+        while h._n_kf_valid_host >= cap - n_next - 2:
             kf_T_pre = np.asarray(h.map.kf_T_cw)
             h.map, slot = h._cull(h.map)
             s = int(slot)
@@ -487,13 +510,19 @@ class ChunkedSlamEngine:
                     h._covis(h.map, jnp.asarray(pad)))[:len(cand_all)]
                 covis_of = {int(s): rows[i]
                             for i, s in enumerate(cand_all)}
+        base_fid = h.frame_id - len(packed_np)   # chunk's first frame id
         for r, s in zip(kf_rows, slots):
-            h._consume_scores(int(s), cand_np[r], scores_np[r], covis_of)
+            h._consume_scores(int(s), cand_np[r], scores_np[r], covis_of,
+                              frame_id=base_fid + int(r))
         if h.map is not map_before:
             # a loop closure moved keyframes/landmarks: resync mirrors,
             # drop the cached carry, and flag any in-flight chunk (built
-            # on the pre-closure map) for replay
+            # on the pre-closure map) for replay. The refreshed mirror
+            # count INCLUDES the in-flight chunks' keyframes (their
+            # carries fed this map), so their folds must not re-count.
             h._refresh_kf_mirrors()
+            for p in self._pending:
+                p["counted"] = True
             self._carry_cache = None
             self._replay_needed = True
 

@@ -178,6 +178,12 @@ class LoopConfig:
 
     min_covisibility: int = 20
     min_score_ratio: float = 0.7      # minScore = 0.7 * best-neighbor score
+    min_score_floor: float = 0.02     # absolute floor under the relative
+    #                                   rule: with NO covisible neighbor
+    #                                   the relative minScore degrades to
+    #                                   0 and floods candidates (typical
+    #                                   true-revisit L1 scores land well
+    #                                   above 0.1; random frames ~0.01)
     acc_score_ratio: float = 0.75     # keep groups > 0.75 * bestAccScore
     #                                   (ref src/pipeline_map.cpp:253-269)
     acc_group_size: int = 10          # top-N covisible KFs per group

@@ -188,7 +188,7 @@ def loop_edge_measurement(m: MapState, cand_slot: jnp.ndarray,
     restores the metric pose. Used both by close_loop and for the
     closed-loops memory ring (the recorded edge must match what the
     solver consumed)."""
-    rel = T_cur_loop @ se3.inv(m.kf_T_cw[cand_slot])
+    rel = se3.compose(T_cur_loop, se3.inv(m.kf_T_cw[cand_slot]))
     if cfg.loop.pose_graph_group != "sim3":
         return rel
     s = jnp.asarray(scale, rel.dtype)
@@ -248,7 +248,7 @@ def close_loop(m: MapState, cur_slot: jnp.ndarray, cand_slot: jnp.ndarray,
     ei = jnp.arange(tier - 1, dtype=jnp.int32)
     ej = jnp.arange(1, tier, dtype=jnp.int32)
     chain_valid = ei < (n_valid - 1)
-    T_meas_chain = Tc_pre[ej] @ se3.inv(Tc_pre[ei])
+    T_meas_chain = se3.compose(Tc_pre[ej], se3.inv(Tc_pre[ei]))
 
     # the new loop edge: measurement from the re-tracked pose (carries
     # the detected scale under "sim3")
@@ -259,10 +259,10 @@ def close_loop(m: MapState, cur_slot: jnp.ndarray, cand_slot: jnp.ndarray,
     # rigid pre-correction (ORB-SLAM CorrectLoop): apply the loop
     # correction dT to the recent segment so LM starts near the optimum —
     # its small-step linearization cannot execute tens-of-meters moves
-    dT = T_cur_loop @ se3.inv(T_ring[cur_slot])
+    dT = se3.compose(T_cur_loop, se3.inv(T_ring[cur_slot]))
     seg = m.kf_valid & (rank > rank[cur_slot] - cfg.loop.correction_window)
     T_init = jnp.where(seg[:, None, None],
-                       se3.normalize(dT[None] @ T_ring), T_ring)
+                       se3.normalize(se3.compose(dT[None], T_ring)), T_ring)
     m = m._replace(kf_T_cw=T_init)
 
     # loop-edge endpoints mapped to compact indices; an endpoint outside
@@ -353,6 +353,13 @@ def merge_mappoints(m: MapState, cur_slot: jnp.ndarray,
 
     M = m.mp_valid.shape[0]
     K = m.kf_obs.shape[1]
+    # a winner that is itself a LOSER of another row this pass would be
+    # invalidated while observations are redirected to it — exclude such
+    # rows (a later closure pass can still merge them)
+    loser_flag = jnp.zeros((M + 1,), bool) \
+        .at[jnp.where(do_merge, loser, M)].set(True)[:M]
+    do_merge = do_merge & ~loser_flag[winner]
+
     # remap table loser -> winner (identity elsewhere); masked writes land
     # in a padding slot M that is sliced off afterwards
     dump = jnp.where(do_merge, loser, M)
@@ -370,4 +377,14 @@ def merge_mappoints(m: MapState, cur_slot: jnp.ndarray,
     obs_row = jnp.concatenate([kf_obs[cur_slot], jnp.zeros(1, jnp.int32)]) \
         .at[jnp.where(adopt, kpt, K)].set(winner)[:K]
     kf_obs = kf_obs.at[cur_slot].set(obs_row)
-    return m._replace(kf_obs=kf_obs, mp_valid=mp_valid)
+
+    # observation counts follow the redirects (culling reads them:
+    # mapping/culling.py weak-landmark pass) — winners inherit their
+    # losers' counts, losers zero out, adoptions add one
+    cnt = jnp.concatenate([m.mp_obs_count, jnp.zeros(1, jnp.int32)])
+    w_dump = jnp.where(do_merge, winner, M)
+    cnt = cnt.at[w_dump].add(jnp.where(do_merge, cnt[dump], 0))
+    cnt = cnt.at[dump].set(0)
+    cnt = cnt.at[jnp.where(adopt, winner, M)].add(1)
+    return m._replace(kf_obs=kf_obs, mp_valid=mp_valid,
+                      mp_obs_count=cnt[:M])

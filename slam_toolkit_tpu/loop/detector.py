@@ -64,7 +64,12 @@ def score_query(m: MapState, bow_db: jnp.ndarray, bow_query: jnp.ndarray,
     covis = covisibility_counts(m, kf_slot)
     neighbor = valid & (covis >= cfg.min_covisibility)
     best_neighbor = jnp.max(jnp.where(neighbor, scores, 0.0))
-    min_score = cfg.min_score_ratio * best_neighbor
+    # absolute floor: a keyframe with no covisible neighbor (aggressive
+    # culling / low texture) would otherwise degrade min_score to ~0 and
+    # admit every keyframe sharing a single BoW word as a candidate
+    # (ORB-SLAM2 never hits this because its query always has neighbors)
+    min_score = jnp.maximum(cfg.min_score_ratio * best_neighbor,
+                            cfg.min_score_floor)
 
     # temporal gate: a candidate must be at least min_kf_gap keyframe
     # insertions older than the query

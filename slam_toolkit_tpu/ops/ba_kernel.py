@@ -129,6 +129,14 @@ def _ba_pallas(Tw, free, Xr, z3, inv_sigma, obs_w, stereo_w, pt_valid,
             w2 = ow * sw * good
             return xc, yc, zc, iz, r0, r1, r2, w0, w2
 
+        # an edge whose point lands behind its camera must cost MORE
+        # than any plausible reprojection error, not drop out of the
+        # cost — else a big finite step that throws everything behind
+        # collapses the cost to 0 and is accepted (same guard as
+        # optim/local_ba.py cost_at)
+        behind_pen = delta * (1e3 - 0.5 * delta)
+        ow_sum = jnp.sum(ow)
+
         def cost_of(r0, r1, r2, w0, w2):
             rn = jnp.sqrt(r0 * r0 * w0 + r1 * r1 * w0 + r2 * r2 * w2
                           + 1e-12)
@@ -140,7 +148,9 @@ def _ba_pallas(Tw, free, Xr, z3, inv_sigma, obs_w, stereo_w, pt_valid,
                                         delta * (trim - 0.5 * delta)
                                         if trim > delta else
                                         0.5 * trim * trim))
-            return jnp.sum(c * active)
+            # w0 = ow * good, so ow_sum - sum(w0) counts behind points
+            return jnp.sum(c * active) + \
+                behind_pen * (ow_sum - jnp.sum(w0))
 
         def concat6(blocks):
             return jnp.concatenate(blocks, axis=0)     # a-major (6W, P)

@@ -156,11 +156,18 @@ def _pose_lm_pallas(T_init, X, Z, inv_sigma, wv, cfg: TrackerConfig,
             rv = (yc * iz - Z1) * isg
             return xc, yc, iz, good, ru, rv
 
+        # behind-camera points cost a large constant instead of dropping
+        # out (same guard as optim/pose_lm.py cost_at): w = wv_ * good,
+        # so sum(wv_) - sum(w) counts them
+        behind_pen = delta * (1e3 - 0.5 * delta)
+        wv_sum = jnp.sum(wv_)
+
         def cost_of(ru, rv, w):
             rn = jnp.sqrt(ru * ru + rv * rv)
             quad = 0.5 * rn * rn
             lin = delta * (rn - 0.5 * delta)
-            return jnp.sum(jnp.where(rn <= delta, quad, lin) * w)
+            return jnp.sum(jnp.where(rn <= delta, quad, lin) * w) + \
+                behind_pen * (wv_sum - jnp.sum(w))
 
         def step(it, carry):
             T, lam, cost = carry

@@ -143,7 +143,7 @@ def optimize_direct(state0: DirectState, image: jnp.ndarray, cam: Camera,
         Hd = H + lam * jnp.diag(jnp.diag(H)) + 1e-6 * jnp.eye(8)
         dx = jnp.linalg.solve(Hd, g)
         st_try = DirectState(
-            T_cw=se3.normalize(se3.exp(dx[:6]) @ st.T_cw),
+            T_cw=se3.normalize(se3.compose(se3.exp(dx[:6]), st.T_cw)),
             a=st.a + dx[6], b=st.b + dx[7])
         c_try = cost_at(st_try)
         finite = jnp.all(jnp.isfinite(dx))

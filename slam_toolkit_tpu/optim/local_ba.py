@@ -121,7 +121,8 @@ def _residual_terms(T_cw, Xw, z, inv_sigma, w_mask, s_mask, baseline):
     r = (pred - z) * inv_sigma[..., None]
     row_w = jnp.stack([w_mask, w_mask, w_mask & s_mask],
                       axis=-1).astype(jnp.float32) * good[..., None]
-    return r, row_w
+    n_behind = jnp.sum(w_mask & ~good)
+    return r, row_w, n_behind
 
 
 def _inv3x3(A: jnp.ndarray) -> jnp.ndarray:
@@ -171,10 +172,19 @@ def solve_ba(p: BAProblem, iters: int = 10, huber_delta: float = 2.4477468,
     w_mask = p.obs_mask & p.pose_valid[:, None] & p.point_valid[None, :]
     free_pose = (~p.pose_fixed) & p.pose_valid
 
+    # an edge whose point lands BEHIND its camera must cost more than
+    # any plausible reprojection error, not drop out: comparing costs
+    # over different active sets lets a large finite step that throws
+    # all points behind all cameras collapse the cost to 0 and be
+    # accepted (the finite-update guard does not catch it)
+    behind_cost = robust.huber_cost(jnp.float32(1e3), huber_delta)
+
     def cost_at(T, X):
-        r, row_w = _residual_terms(T, X, p.z, p.inv_sigma, w_mask,
-                                   p.stereo_mask, p.baseline)
-        return _cost(r, row_w, huber_delta, trim_sigma)
+        r, row_w, n_behind = _residual_terms(T, X, p.z, p.inv_sigma,
+                                             w_mask, p.stereo_mask,
+                                             p.baseline)
+        return _cost(r, row_w, huber_delta, trim_sigma) + \
+            behind_cost * n_behind
 
     def step(carry, _):
         T, X, lam, cost = carry
@@ -225,7 +235,7 @@ def solve_ba(p: BAProblem, iters: int = 10, huber_delta: float = 2.4477468,
         dl = jnp.where(pt_active[:, None], dl, 0.0)
 
         T_try = jnp.where(free_pose[:, None, None],
-                          se3.normalize(se3.exp(dp) @ T), T)
+                          se3.normalize(se3.compose(se3.exp(dp), T)), T)
         X_try = p.point_valid[:, None] * (X + dl) + \
             (~p.point_valid)[:, None] * X
         cost_try = cost_at(T_try, X_try)
@@ -243,7 +253,7 @@ def solve_ba(p: BAProblem, iters: int = 10, huber_delta: float = 2.4477468,
 
     init = (p.T_cw, p.Xw, jnp.float32(lambda0), cost_at(p.T_cw, p.Xw))
     (T_f, X_f, _, cost_f), _ = jax.lax.scan(step, init, None, length=iters)
-    r, row_w = _residual_terms(T_f, X_f, p.z, p.inv_sigma, w_mask,
+    r, row_w, _ = _residual_terms(T_f, X_f, p.z, p.inv_sigma, w_mask,
                                p.stereo_mask, p.baseline)
     r2 = jnp.sum(r * r * row_w, axis=-1)
     return BAResult(T_cw=T_f, Xw=X_f, cost=cost_f, edge_r2=r2)

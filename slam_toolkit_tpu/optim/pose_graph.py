@@ -33,6 +33,13 @@ import jax.numpy as jnp
 from slam_toolkit_tpu.geometry import se3, sim3
 from slam_toolkit_tpu.optim import robust
 
+_HI = jax.lax.Precision.HIGHEST  # pose math never runs at bf16 default
+#                                  (see geometry/se3.py:20)
+
+
+def _mm(a, b):
+    return jnp.matmul(a, b, precision=_HI)
+
 
 class PoseGraphProblem(NamedTuple):
     T_cw: jnp.ndarray       # (N, 4, 4) initial poses (SE3, or Sim3 mats)
@@ -56,7 +63,7 @@ class _SE3Ops(NamedTuple):
         return se3.inv(T)
 
     def update(self, dx, T):
-        return se3.normalize(se3.exp(dx) @ T)
+        return se3.normalize(se3.compose(se3.exp(dx), T))
 
     def adjoint(self, T):
         R = T[..., :3, :3]
@@ -64,7 +71,8 @@ class _SE3Ops(NamedTuple):
         E = T.shape[0]
         Ad = jnp.zeros((E, 6, 6))
         Ad = Ad.at[:, :3, :3].set(R)
-        Ad = Ad.at[:, :3, 3:].set(se3.hat(t) @ R)
+        Ad = Ad.at[:, :3, 3:].set(jnp.matmul(
+            se3.hat(t), R, precision=jax.lax.Precision.HIGHEST))
         Ad = Ad.at[:, 3:, 3:].set(R)
         return Ad
 
@@ -79,7 +87,7 @@ class _Sim3Ops(NamedTuple):
         return sim3.inv(S)
 
     def update(self, dx, S):
-        return sim3.normalize(sim3.exp(dx) @ S)
+        return sim3.normalize(sim3.compose(sim3.exp(dx), S))
 
     def adjoint(self, S):
         return sim3.adjoint(S)
@@ -105,7 +113,8 @@ def _solve_graph(prob: PoseGraphProblem, ops, iters: int,
     C_inv = ops.inv(prob.edge_T_ji)
 
     def residuals(T):
-        return ops.log(T[prob.edge_j] @ ops.inv(T[prob.edge_i]) @ C_inv)
+        return ops.log(_mm(_mm(T[prob.edge_j], ops.inv(T[prob.edge_i])),
+                           C_inv))
 
     def cost_at(T):
         r = residuals(T)
@@ -118,7 +127,7 @@ def _solve_graph(prob: PoseGraphProblem, ops, iters: int,
         rw = jnp.sqrt(jnp.sum(r * r * prob.edge_info, axis=-1) + 1e-12)
         w_rob = robust.huber_weight(rw, huber_delta) * ew
         Jj = jnp.broadcast_to(jnp.eye(D), (E, D, D))
-        Ji = -ops.adjoint(T[prob.edge_j] @ ops.inv(T[prob.edge_i]))
+        Ji = -ops.adjoint(_mm(T[prob.edge_j], ops.inv(T[prob.edge_i])))
         info_w = prob.edge_info * w_rob[:, None]               # (E, D)
 
         # assemble H (N, N, D, D) and b (N, D) by scatter-add over edges

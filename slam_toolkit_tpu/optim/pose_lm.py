@@ -85,10 +85,17 @@ def optimize_pose(T_init: jnp.ndarray, Xw: jnp.ndarray, z_norm: jnp.ndarray,
     """
     inv_sigma = jax.lax.rsqrt(jnp.maximum(sigma2, 1e-12))
     w_valid = weight_mask.astype(jnp.float32)
+    # a point pushed BEHIND the camera must cost more than any plausible
+    # reprojection error, not drop out of the cost: comparing costs over
+    # different active sets lets an ill-conditioned step that throws
+    # every landmark behind the camera collapse the cost to 0 and be
+    # accepted (the solver then stalls on a garbage pose)
+    behind_cost = robust.huber_cost(jnp.float32(1e3), cfg.huber_delta)
 
     def cost_at(T):
         r, _, good = _residuals(T, Xw, z_norm, inv_sigma)
-        return _robust_cost(r, w_valid * good, cfg.huber_delta)
+        return _robust_cost(r, w_valid * good, cfg.huber_delta) + \
+            behind_cost * jnp.sum(w_valid * (1.0 - good))
 
     def step(carry, _):
         T, lam, cost = carry
@@ -102,7 +109,7 @@ def optimize_pose(T_init: jnp.ndarray, Xw: jnp.ndarray, z_norm: jnp.ndarray,
         b = -jnp.einsum('nri,n,nr->i', J, w_rob, r)
         H_damped = H + lam * jnp.diag(jnp.diag(H)) + 1e-9 * jnp.eye(6)
         xi = jnp.linalg.solve(H_damped, b)
-        T_try = se3.normalize(se3.exp(xi) @ T)
+        T_try = se3.normalize(se3.compose(se3.exp(xi), T))
         cost_try = cost_at(T_try)
         accept = cost_try < cost
         T_new = jnp.where(accept, T_try, T)

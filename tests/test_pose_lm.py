@@ -69,3 +69,36 @@ def test_behind_camera_points_zero_weight():
     assert bool(jnp.isfinite(res.cost))
     err = se3.log(res.T_cw @ se3.inv(T_true))
     assert float(jnp.abs(err).max()) < 1e-3
+
+
+def test_all_behind_pose_is_expensive():
+    """Regression: a pose with every landmark behind the camera used to
+    cost exactly 0 (points dropped out of the robust sum), so an
+    ill-conditioned LM step into it was ACCEPTED and the solver stalled
+    on a garbage pose. The behind-camera penalty makes such poses far
+    more expensive than any reprojection error."""
+    import numpy as np
+
+    from slam_toolkit_tpu.config import TrackerConfig
+    from slam_toolkit_tpu.geometry import se3
+
+    rng = np.random.default_rng(0)
+    N = 64
+    Xw = np.concatenate([rng.uniform(-1, 1, (N, 2)),
+                         rng.uniform(1.8, 2.2, (N, 1))],
+                        axis=1).astype(np.float32)
+    z = (Xw[:, :2] / Xw[:, 2:3]).astype(np.float32)
+    cfg = TrackerConfig()
+    T_behind = se3.exp(jnp.asarray([0, 0, 3.5, 0, 3.05, 0.0],
+                                   jnp.float32))
+    res_b = pose_lm.optimize_pose(T_behind, jnp.asarray(Xw),
+                                  jnp.asarray(z), jnp.full((N,), 1e-4),
+                                  jnp.ones((N,), bool), cfg)
+    assert float(res_b.cost) > 1e4, float(res_b.cost)
+    # and a sane init still converges to the exact pose
+    T0 = se3.exp(jnp.asarray([0.05, -0.03, 0.1, 0.02, -0.04, 0.01],
+                             jnp.float32))
+    res = pose_lm.optimize_pose(T0, jnp.asarray(Xw), jnp.asarray(z),
+                                jnp.full((N,), 1e-4),
+                                jnp.ones((N,), bool), cfg)
+    np.testing.assert_allclose(np.asarray(res.T_cw), np.eye(4), atol=1e-3)

@@ -22,8 +22,6 @@ import jax.numpy as jnp
 from slam_toolkit_tpu.config import SlamConfig
 from slam_toolkit_tpu.frontend.frame import FrameState
 from slam_toolkit_tpu.frontend.matching import projection_match
-from slam_toolkit_tpu.geometry import camera as cam_mod
-from slam_toolkit_tpu.geometry import se3
 from slam_toolkit_tpu.geometry.camera import StereoCamera
 from slam_toolkit_tpu.optim import pose_lm
 
@@ -76,10 +74,8 @@ def track_pose(frame: FrameState, Xw: jnp.ndarray, mp_desc: jnp.ndarray,
 
     # reprojection filter in *pixels* (ref ReprojectionFilter(10px),
     # src/posetracker.cpp:106-137)
-    Xc = se3.transform(res.T_cw, Xw)
-    uv = cam_mod.project(cam.left, Xc)
-    err_px = jnp.linalg.norm(uv - xy_kpt, axis=-1)
-    inlier = m.ok & (Xc[..., 2] > 0.0) & (err_px <= cfg.tracker.reprojection_px)
+    inlier, _ = pose_lm.reprojection_inliers(
+        cam.left, res.T_cw, Xw, xy_kpt, m.ok, cfg.tracker.reprojection_px)
     # only erase outliers when enough inliers survive (ref :211-217)
     n_in = jnp.sum(inlier)
     keep_filtered = n_in >= cfg.tracker.min_matches

@@ -25,7 +25,6 @@ import jax.numpy as jnp
 
 from slam_toolkit_tpu.config import SlamConfig
 from slam_toolkit_tpu.frontend.matching import projection_match
-from slam_toolkit_tpu.geometry import camera as cam_mod
 from slam_toolkit_tpu.geometry import se3, sim3
 from slam_toolkit_tpu.geometry.camera import StereoCamera
 from slam_toolkit_tpu.mapping.map_state import MapState, mappoint_positions_at
@@ -77,13 +76,11 @@ def relative_pose(m: MapState, cur_slot: jnp.ndarray, cand_slot: jnp.ndarray,
         sigma2 = m.kf_sigma2[cur_slot][kpt] / (cam.left.fx * cam.left.fx)
         res = pose_lm.optimize_pose(T_pred, Xw, z_norm, sigma2, ok,
                                     cfg.tracker)
-        Xc = se3.transform(res.T_cw, Xw)
-        uv = cam_mod.project(cam.left, Xc)
-        err = jnp.linalg.norm(uv - m.kf_xy[cur_slot][kpt], axis=-1)
-        inlier = ok & (Xc[..., 2] > 0) & \
-            (err <= cfg.tracker.reprojection_px)
+        inlier, depth = pose_lm.reprojection_inliers(
+            cam.left, res.T_cw, Xw, m.kf_xy[cur_slot][kpt], ok,
+            cfg.tracker.reprojection_px)
         return res.T_cw, jnp.sum(inlier), _loop_scale(
-            m, cur_slot, kpt, inlier, Xc[..., 2], cfg)
+            m, cur_slot, kpt, inlier, depth, cfg)
 
     # 2x the tracking radius: the prediction here carries the full
     # accumulated loop drift, not one frame of motion
@@ -165,10 +162,9 @@ def relocalize_frame(m: MapState, frame_feats: FrameFeatures,
     sigma2 = frame_feats.sigma2[kpt] / (cam.left.fx * cam.left.fx)
     res = pose_lm.optimize_pose(T_pred, Xw, z_norm, sigma2, match.ok,
                                 cfg.tracker)
-    Xc = se3.transform(res.T_cw, Xw)
-    uv = cam_mod.project(cam.left, Xc)
-    err = jnp.linalg.norm(uv - frame_feats.xy[kpt], axis=-1)
-    inlier = match.ok & (Xc[..., 2] > 0) & (err <= cfg.tracker.reprojection_px)
+    inlier, _ = pose_lm.reprojection_inliers(
+        cam.left, res.T_cw, Xw, frame_feats.xy[kpt], match.ok,
+        cfg.tracker.reprojection_px)
     n = jnp.sum(inlier)
     # relocalization has its own (laxer) gate: min_matches guards the
     # POSE GRAPH against weak loop edges, but a 25-inlier re-track is

@@ -75,6 +75,22 @@ def _robust_cost(r: jnp.ndarray, w_valid: jnp.ndarray, delta: float):
     return jnp.sum(robust.huber_cost(rn, delta) * w_valid)
 
 
+def reprojection_inliers(cam_left, T_cw: jnp.ndarray, Xw: jnp.ndarray,
+                         xy_obs: jnp.ndarray, ok: jnp.ndarray,
+                         px_thresh: float):
+    """Post-solve pixel-space inlier gate shared by the tracker, loop
+    relative pose, and relocalization (the reference's
+    ReprojectionFilter, src/posetracker.cpp:106-137): in front of the
+    camera AND reprojecting within px_thresh of the observation.
+    Returns (inlier_mask, depths)."""
+    from slam_toolkit_tpu.geometry import camera as cam_mod
+    Xc = se3.transform(T_cw, Xw)
+    uv = cam_mod.project(cam_left, Xc)
+    err_px = jnp.linalg.norm(uv - xy_obs, axis=-1)
+    inlier = ok & (Xc[..., 2] > 0.0) & (err_px <= px_thresh)
+    return inlier, Xc[..., 2]
+
+
 def optimize_pose(T_init: jnp.ndarray, Xw: jnp.ndarray, z_norm: jnp.ndarray,
                   sigma2: jnp.ndarray, weight_mask: jnp.ndarray,
                   cfg: TrackerConfig) -> PoseLMResult:

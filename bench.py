@@ -172,14 +172,14 @@ def _stage_frames(cfg, n_frames):
 
 def main_dp():
     """BENCH_DP=B: data-parallel variant — the FULL engine step (track +
-    keyframe cond + stereo supply + insert + cull + local BA) vmapped
-    over B independent sequences on one chip (parallel/mesh.py
-    multi_sequence_chunk; BASELINE.json config 5's single-chip half —
-    the mesh spreads the same program over devices with zero
-    collectives). Reports AGGREGATE frames/s across lanes: batching
-    fills the MXU better than one sequence can, so aggregate throughput
-    should exceed B-independent-runs of nothing and approach
-    B x single-sequence fps until the chip saturates."""
+    keyframe cond + stereo supply + insert + cull + local BA) over B
+    independent sequences on one chip (BASELINE.json config 5's
+    single-chip half — across chips the same lanes ride
+    parallel/mesh.multi_sequence_shard_chunk with zero collectives).
+    BENCH_DP_MODE picks the lane layout: "lane" (default,
+    multi_sequence_lane_chunk — keyframe cond stays real branching) or
+    "vmap" (multi_sequence_chunk — both-branch masked cond). Reports
+    AGGREGATE frames/s across lanes."""
     import jax
     import jax.numpy as jnp
 
@@ -190,7 +190,8 @@ def main_dp():
     from slam_toolkit_tpu.evaluation.traj import ate_rmse
     from slam_toolkit_tpu.parallel.mesh import (batched_bootstrap,
                                                 batched_empty_map,
-                                                multi_sequence_chunk)
+                                                multi_sequence_chunk,
+                                                multi_sequence_lane_chunk)
 
     # BENCH_TINY=1: tiny config on CPU — harness smoke test only
     cfg = SlamConfig.tiny() if os.environ.get("BENCH_TINY") \
@@ -223,7 +224,13 @@ def main_dp():
                              (B, 2) + stacked.shape[2:])
     carry = jax.jit(boot)(batched_empty_map(cfg, B),
                           first[:, 0], first[:, 1])
-    step = multi_sequence_chunk(cfg, cam)
+    # BENCH_DP_MODE: "lane" (default; lax.map over lanes — the keyframe
+    # cond stays real control flow, so lanes only pay keyframe events
+    # they trigger) or "vmap" (both-branch masked cond: every lane pays
+    # the event cost every frame — measured 256 vs 607-single aggregate)
+    dp_mode = os.environ.get("BENCH_DP_MODE", "lane")
+    step = (multi_sequence_lane_chunk if dp_mode == "lane"
+            else multi_sequence_chunk)(cfg, cam)
 
     t0 = time.perf_counter()
     packs = []

@@ -157,6 +157,90 @@ def _vmapped_frame_body(cfg: SlamConfig, cam: StereoCamera):
     return jax.vmap(one)
 
 
+def _lane_chunk_body(cfg: SlamConfig, cam: StereoCamera):
+    """One sequence's chunk as a lax.map-able lane:
+    (carry_lane, images_lane (C, 2, H, W)) -> (carry_lane, packed (C, 36)).
+
+    Because the lane runs UNBATCHED, the keyframe lax.cond stays real
+    dynamic control flow — a lane only pays the keyframe-event cost
+    (stereo supply + insert + cull + BA + snapshot) on its own
+    keyframes. Under vmap that cond lowers to masked execution of both
+    branches, so EVERY lane pays the event cost EVERY frame (measured:
+    vmapped DP-4 runs at ~0.4x the aggregate of four independent runs)."""
+    from slam_toolkit_tpu.pipeline.scan_engine import make_frame_body
+
+    body = make_frame_body(cfg, cam)
+
+    def lane(args):
+        c_lane, imgs_lane = args
+        def step(c, stereo):
+            frame = build_frame(stereo[0], cam, cfg)
+            return body(c, (frame, stereo[0], stereo[1]))
+        return jax.lax.scan(step, c_lane, imgs_lane)
+
+    return lane
+
+
+def multi_sequence_lane_chunk(cfg: SlamConfig, cam: StereoCamera):
+    """Single-device DP chunk with REAL keyframe branching: lax.map over
+    lanes (sequential per lane) of the unbatched chunked scan.
+
+    Same signature as multi_sequence_chunk: (carry, images (C, B, 2, H,
+    W)) -> (carry, packed (C, B, 36)). Lanes execute one after another
+    on the device, but each lane's frames skip the keyframe event unless
+    that lane needs one — the vmapped variant's both-branch masking
+    costs more than lane serialization whenever the keyframe rate is
+    low (the common case: ~1 KF per 5 frames)."""
+    import functools
+
+    lane = _lane_chunk_body(cfg, cam)
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def chunk(carry, images):
+        imgs_lanes = jnp.moveaxis(images, 1, 0)        # (B, C, 2, H, W)
+        carry_out, packed = jax.lax.map(lane, (carry, imgs_lanes))
+        return carry_out, jnp.moveaxis(packed, 0, 1)   # (C, B, 36)
+
+    return chunk
+
+
+def multi_sequence_shard_chunk(cfg: SlamConfig, cam: StereoCamera,
+                               mesh: Mesh):
+    """Multi-chip DP chunk: shard_map over the `seq` mesh axis.
+
+    This — not vmap — is the idiomatic cross-chip layout: inside a shard
+    the program is the UNBATCHED chunked scan (lax.map over the shard's
+    local lanes), so the keyframe lax.cond remains genuine per-device
+    control flow and each chip only pays keyframe events its own
+    sequences trigger. Sequences are independent, so the lowered program
+    has ZERO collectives; ICI stays idle and scaling is linear in
+    devices. vmap remains the right tool for intra-chip lane batching of
+    branch-free stages, shard_map for the cross-chip axis.
+
+    carry: batched pytree with leading axis B sharded over `seq`
+    (shard_batch); images: (C, B, 2, H, W), B divisible by mesh size.
+    Returns (carry, packed (C, B, 36)) with the same shardings.
+    """
+    import functools
+
+    lane = _lane_chunk_body(cfg, cam)
+
+    def shard_body(carry_sl, images_sl):
+        imgs_lanes = jnp.moveaxis(images_sl, 1, 0)
+        carry_out, packed = jax.lax.map(lane, (carry_sl, imgs_lanes))
+        return carry_out, jnp.moveaxis(packed, 0, 1)
+
+    # check_vma=False: the varying-manual-axes type check rejects scan
+    # carries seeded from literals deep in the shared solvers (pose LM's
+    # damping scan). There is no cross-shard communication anywhere in
+    # the body, so the check has nothing to protect here.
+    sm = jax.shard_map(shard_body, mesh=mesh,
+                       in_specs=(P("seq"), P(None, "seq")),
+                       out_specs=(P("seq"), P(None, "seq")),
+                       check_vma=False)
+    return jax.jit(sm, donate_argnums=0)
+
+
 def multi_sequence_chunk(cfg: SlamConfig, cam: StereoCamera):
     """Chunked variant of multi_sequence_engine's step: lax.scan over C
     frames of the vmapped full frame body, one dispatch per chunk per

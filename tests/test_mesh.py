@@ -99,3 +99,44 @@ def test_chunked_dp_matches_per_frame(dp_run):
     carry, packed = chunk(carry, imgs)              # (C, B, 36)
     got = np.transpose(np.asarray(packed), (1, 0, 2))   # (B, C, 36)
     np.testing.assert_allclose(got, packs, rtol=1e-4, atol=1e-4)
+
+
+def _dp_inputs(cfg, seqs, mesh):
+    cam = StereoCamera.from_config(cfg.camera)
+    lefts = np.stack([[l for l, _ in s[2]] for s in seqs])
+    rights = np.stack([[r for _, r in s[2]] for s in seqs])
+    maps = mesh_mod.shard_batch(mesh,
+                                mesh_mod.batched_empty_map(cfg, N_DEV))
+    boot = jax.jit(mesh_mod.batched_bootstrap(cfg, cam))
+    carry = boot(maps, jnp.asarray(lefts[:, 0]), jnp.asarray(rights[:, 0]))
+    imgs = jnp.asarray(np.stack(
+        [np.stack([lefts[:, t], rights[:, t]], axis=1)
+         for t in range(1, lefts.shape[1])]))
+    return cam, carry, imgs
+
+
+def test_lane_chunk_matches_vmap(dp_run):
+    """multi_sequence_lane_chunk (lax.map over lanes — the keyframe cond
+    stays real control flow) must produce the same packed outputs as the
+    vmapped chunk: lane serialization is a pure execution-strategy
+    change, never a results change."""
+    cfg, mesh, seqs, carry0, packs = dp_run
+    cam, carry, imgs = _dp_inputs(cfg, seqs, mesh)
+    carry, packed = mesh_mod.multi_sequence_lane_chunk(cfg, cam)(carry, imgs)
+    got = np.transpose(np.asarray(packed), (1, 0, 2))
+    np.testing.assert_allclose(got, packs, rtol=1e-4, atol=1e-4)
+
+
+def test_shard_chunk_matches_vmap_and_holds_sharding(dp_run):
+    """multi_sequence_shard_chunk (shard_map over `seq`, unbatched scan
+    per shard) must agree with the vmapped chunk and keep every output
+    sharded over the mesh — the multi-chip DP layout with zero
+    collectives."""
+    cfg, mesh, seqs, carry0, packs = dp_run
+    cam, carry, imgs = _dp_inputs(cfg, seqs, mesh)
+    step = mesh_mod.multi_sequence_shard_chunk(cfg, cam, mesh)
+    carry, packed = step(carry, imgs)
+    got = np.transpose(np.asarray(packed), (1, 0, 2))
+    np.testing.assert_allclose(got, packs, rtol=1e-4, atol=1e-4)
+    assert packed.sharding.spec[1] == "seq"
+    assert carry.m.kf_T_cw.sharding.spec[0] == "seq"

@@ -86,7 +86,7 @@ def main():
     eng._dispatch = disp_wrap
 
     # also bucket the whole between-chunk loop pass and the fold readback
-    for nm in ("_loop_dispatch", "_consume_loop_entry"):
+    for nm in ("_loop_dispatch", "_loop_phase1", "_loop_phase2"):
         def mk(nm):
             orig = getattr(eng, nm)
             def wrap(*a, **k):

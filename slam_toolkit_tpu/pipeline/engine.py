@@ -88,6 +88,10 @@ class SlamEngine:
             # post-closure detection cooldown (ORB-SLAM2 mLastLoopKFid+10;
             # the reference's unfinished last_loop_kf_)
             self._last_closure_nkf = -(10 ** 9)
+            # pose-graph tier programs built so far + the background
+            # compile thread keeping the next tier ahead of closures
+            self._compiled_tiers: set = set()
+            self._tier_thread = None
         self._compile()
 
     # ----- jitted programs -------------------------------------------------
@@ -499,6 +503,8 @@ class SlamEngine:
         if run_ba and self.n_keyframes >= 3:
             self.map = self._ba(self.map)
         self._refresh_kf_mirrors()
+        if self.vocab is not None:
+            self._precompile_tiers_async()
 
     def _try_relocalize(self, frame):
         """BoW-rank keyframes against the lost frame; re-track the best.
@@ -531,16 +537,81 @@ class SlamEngine:
         z = jnp.int32(0)
         outs = [self._covis(self.map, jnp.zeros((8,), jnp.int32))]
         outs.append(self._relpose(self.map, z, z))
-        # the two smallest pose-graph tiers cover typical closure-time
-        # keyframe counts; larger tiers compile on first use
-        for tier in _PG_TIERS[:2]:
-            outs.append(self._close(self.map, z, z, jnp.eye(4),
-                                    self.closed_i, self.closed_j,
-                                    self.closed_T, self.closed_valid,
-                                    self.closed_w, z, jnp.float32(1.0),
-                                    jnp.float32(100.0),
-                                    min(tier, self.cfg.map.max_keyframes)))
         jax.block_until_ready(outs)
+        # compile the tier a closure would use RIGHT NOW plus the next
+        # one up. Fixed tiers[:2] missed the scan engine's raised margin
+        # (queue_depth * chunk keyframes may be in flight), and a tier
+        # compile at closure time costs ~70 s through this environment's
+        # remote-compile relay — measured as 96% of a loop-mode run's
+        # wall time (scripts/profile_consume.py)
+        for tier in self._tiers_ahead():
+            self._warm_tier(tier)
+
+    def _tiers_ahead(self):
+        """The pose-graph tier a closure would need now, and the next
+        tier up (keyframe growth during the compile window)."""
+        cur = self._close_tier()
+        out = [cur]
+        for t in _PG_TIERS:
+            if t > cur and t <= self.cfg.map.max_keyframes:
+                out.append(t)
+                break
+        return out
+
+    def _warm_tier(self, tier: int):
+        """Compile (and cache) the close program for one tier by running
+        it on a FRESH empty map with identity inputs (freed right
+        after). Never the live map: the chunked engine donates the live
+        map's buffers to the next chunk program, so a reference captured
+        by the background compile thread can be deleted before the RPC
+        lands. Pure function: executing it costs one small device solve
+        and nothing else."""
+        if tier in self._compiled_tiers:
+            return
+        z = jnp.int32(0)
+        dummy = empty_map(self.cfg)
+        out = self._close(dummy, z, z, jnp.eye(4),
+                          jnp.zeros(MAX_CLOSED_LOOPS, jnp.int32),
+                          jnp.zeros(MAX_CLOSED_LOOPS, jnp.int32),
+                          jnp.tile(jnp.eye(4), (MAX_CLOSED_LOOPS, 1, 1)),
+                          jnp.zeros(MAX_CLOSED_LOOPS, bool),
+                          jnp.ones(MAX_CLOSED_LOOPS, jnp.float32),
+                          z, jnp.float32(1.0), jnp.float32(100.0), tier)
+        jax.block_until_ready(out)
+        self._compiled_tiers.add(tier)
+
+    def _precompile_tiers_async(self):
+        """Keep the next closure's tier compiled AHEAD of the closure:
+        kick a daemon thread compiling any tier in _tiers_ahead() not
+        yet built. Called after keyframe growth (cheap no-op when
+        everything is compiled). The closure path joins the thread via
+        _ensure_tier, so the worst case degrades to today's synchronous
+        compile, never a double compile."""
+        if self.vocab is None:
+            return
+        missing = [t for t in self._tiers_ahead()
+                   if t not in self._compiled_tiers]
+        if not missing:
+            return
+        if self._tier_thread is not None and self._tier_thread.is_alive():
+            return
+        import threading
+
+        def work(tiers=tuple(missing)):
+            for t in tiers:
+                self._warm_tier(t)
+
+        self._tier_thread = threading.Thread(target=work, daemon=True)
+        self._tier_thread.start()
+
+    def _ensure_tier(self, tier: int):
+        """Block until `tier`'s close program exists: join an in-flight
+        background compile if one is running, else compile here."""
+        if tier in self._compiled_tiers:
+            return
+        if self._tier_thread is not None and self._tier_thread.is_alive():
+            self._tier_thread.join()
+        self._warm_tier(tier)
 
     def _close_tier(self) -> int:
         """Smallest pose-graph tier covering the live keyframe count,
@@ -641,20 +712,25 @@ class SlamEngine:
             # same-seam dedup: if this pair re-measures an already-closed
             # loop, only a STRONGER measurement may refine it (a weaker
             # one re-injects noise into a corrected seam — measured
-            # 0.19 -> 0.89 m on the synthetic revisit circle)
-            fid_cand = int(np.asarray(self.map.kf_frame_id[cand]))
+            # 0.19 -> 0.89 m on the synthetic revisit circle).
+            # Read the WHOLE (F,) id array: indexing the device array
+            # with the python `cand` compiled a one-off gather program
+            # per distinct slot (~0.8 s each through the compile relay)
+            fid_cand = int(np.asarray(self.map.kf_frame_id)[cand])
             W = self.cfg.loop.closure_dedup_frames
             if any(abs(fid - fj) <= W and
                    abs(fid_cand - fi) <= W and n_new <= n_old
                    for fj, fi, n_old in self._closed_pairs):
                 continue
             k = self.n_closed % MAX_CLOSED_LOOPS
+            tier = self._close_tier()
+            self._ensure_tier(tier)
             (self.map, self.closed_i, self.closed_j, self.closed_T,
              self.closed_valid, self.closed_w) = self._close(
                 self.map, jnp.int32(slot), jnp.int32(cand), rel.T_cw,
                 self.closed_i, self.closed_j, self.closed_T,
                 self.closed_valid, self.closed_w, jnp.int32(k), rel.scale,
-                rel.n_inliers.astype(jnp.float32), self._close_tier())
+                rel.n_inliers.astype(jnp.float32), tier)
             self.n_closed += 1
             self._last_closure_nkf = self.n_keyframes
             self._closed_pairs.append((fid, fid_cand, n_new))

@@ -230,6 +230,9 @@ class ChunkedSlamEngine:
         # queued loop-score entries, 1:1 with _pending chunks: dispatched
         # with the chunk, consumed when it folds (see _loop_dispatch)
         self._loop_queue: List[dict] = []
+        # phase-1 detections awaiting their covis prefetch (consumed one
+        # fold later by _loop_phase2)
+        self._loop_stash: List[dict] = []
         self._replay_needed = False                # loop closure hit mid-flight
         self.n_replays = 0                         # closures that landed while
         #                                            chunks were in flight and
@@ -353,7 +356,7 @@ class ChunkedSlamEngine:
             # reads keyframe slots from the packed DEVICE output — no
             # host data needed). By the time this chunk is folded, two
             # more chunks of device time have passed, so the score
-            # readback in _consume_loop_entry is a cheap sync instead of
+            # readback in _loop_phase1 is a cheap sync instead of
             # blocking on in-flight chunks.
             self._loop_dispatch(carry.m, packed)
         # start the device->host copy of the packed per-frame outputs
@@ -382,6 +385,11 @@ class ChunkedSlamEngine:
         rows, self._owed_rows = self._owed_rows, []
         while self._pending:
             rows.append(self._fold_one())
+            if self._replay_needed:
+                rows.extend(self._drain_after_closure())
+        if self.vocab is not None and self._loop_stash:
+            # the last chunk's detection is still one fold behind
+            self._loop_phase2()
             if self._replay_needed:
                 rows.extend(self._drain_after_closure())
         return np.concatenate(rows, axis=0) if rows else \
@@ -422,11 +430,19 @@ class ChunkedSlamEngine:
                                      "ok": bool(row[33] > 0.5),
                                      "elapsed_ms": round(dt_ms, 2)})
 
-        # host-side mapping-thread work between chunks: consume this
-        # chunk's loop scores (registered/scored at dispatch time; the
-        # readback has been overlapping newer device work)
-        if self.vocab is not None and self._loop_queue:
-            self._consume_loop_entry(self._loop_queue.pop(0), packed_np)
+        # host-side mapping-thread work between chunks, two phases so no
+        # fold ever blocks on a fresh dispatch: consume the PREVIOUS
+        # chunk's stashed detection (its covis rows were dispatched one
+        # fold ago and async-copied — by now they're host-side), then
+        # read this chunk's scores and dispatch ITS covis prefetch. The
+        # extra chunk of detection lag is the same staleness the
+        # reference's mapping thread has (ref src/pipeline.cpp:98-141).
+        if self.vocab is not None:
+            self._loop_phase2()
+            if self._loop_queue:
+                self._loop_phase1(self._loop_queue.pop(0), packed_np)
+            if n_new_kf:
+                self._host._precompile_tiers_async()
         return packed_np
 
     def _ensure_headroom(self, n_next: int):
@@ -485,20 +501,21 @@ class ChunkedSlamEngine:
             pass
         self._loop_queue.append({"sc": sc})
 
-    def _consume_loop_entry(self, entry: dict,
-                            packed_np: np.ndarray) -> None:
-        """Host half of loop detection for one folded chunk: one covis
-        pre-fetch for ALL of the chunk's candidates, then consistency +
-        closure per keyframe (engine._consume_scores)."""
+    def _loop_phase1(self, entry: dict, packed_np: np.ndarray) -> None:
+        """Read one folded chunk's scores (already host-side via the
+        dispatch-time async copy), dispatch the covis prefetch for ALL
+        its candidates, and stash the detection for the NEXT fold —
+        the covis readback then overlaps a full chunk of device time
+        instead of blocking this fold (~30 ms through the relay,
+        scripts/profile_consume.py)."""
         h = self._host
-        map_before = h.map
         kf_rows = np.flatnonzero(packed_np[:, 34] > 0.5)
         if len(kf_rows) == 0:
             return
         slots = packed_np[kf_rows, 32].astype(np.int32)
         cand_np = np.asarray(entry["sc"].candidates)
         scores_np = np.asarray(entry["sc"].scores)
-        covis_of = None
+        covis_dev, cand_all = None, None
         if h.n_keyframes >= 3:
             cand_all = np.unique(np.concatenate(
                 [np.flatnonzero(cand_np[r]) for r in kf_rows]))
@@ -506,25 +523,46 @@ class ChunkedSlamEngine:
                 padn = 8 * ((len(cand_all) + 7) // 8)
                 pad = np.zeros(padn, np.int32)
                 pad[:len(cand_all)] = cand_all
-                rows = np.asarray(
-                    h._covis(h.map, jnp.asarray(pad)))[:len(cand_all)]
+                covis_dev = h._covis(h.map, jnp.asarray(pad))
+                try:
+                    covis_dev.copy_to_host_async()
+                except Exception:       # non-jax arrays in tests
+                    pass
+        self._loop_stash.append({
+            "kf_rows": kf_rows, "slots": slots, "cand_np": cand_np,
+            "scores_np": scores_np, "covis_dev": covis_dev,
+            "cand_all": cand_all,
+            "base_fid": h.frame_id - len(packed_np)})
+
+    def _loop_phase2(self) -> None:
+        """Consistency + closure for the stashed detection (one fold
+        old): engine._consume_scores per keyframe, covis rows from the
+        phase-1 prefetch."""
+        h = self._host
+        while self._loop_stash:
+            st = self._loop_stash.pop(0)
+            map_before = h.map
+            covis_of = None
+            if st["covis_dev"] is not None:
+                rows = np.asarray(st["covis_dev"])[:len(st["cand_all"])]
                 covis_of = {int(s): rows[i]
-                            for i, s in enumerate(cand_all)}
-        base_fid = h.frame_id - len(packed_np)   # chunk's first frame id
-        for r, s in zip(kf_rows, slots):
-            h._consume_scores(int(s), cand_np[r], scores_np[r], covis_of,
-                              frame_id=base_fid + int(r))
-        if h.map is not map_before:
-            # a loop closure moved keyframes/landmarks: resync mirrors,
-            # drop the cached carry, and flag any in-flight chunk (built
-            # on the pre-closure map) for replay. The refreshed mirror
-            # count INCLUDES the in-flight chunks' keyframes (their
-            # carries fed this map), so their folds must not re-count.
-            h._refresh_kf_mirrors()
-            for p in self._pending:
-                p["counted"] = True
-            self._carry_cache = None
-            self._replay_needed = True
+                            for i, s in enumerate(st["cand_all"])}
+            for r, s in zip(st["kf_rows"], st["slots"]):
+                h._consume_scores(int(s), st["cand_np"][r],
+                                  st["scores_np"][r], covis_of,
+                                  frame_id=st["base_fid"] + int(r))
+            if h.map is not map_before:
+                # a loop closure moved keyframes/landmarks: resync
+                # mirrors, drop the cached carry, and flag any in-flight
+                # chunk (built on the pre-closure map) for replay. The
+                # refreshed mirror count INCLUDES the in-flight chunks'
+                # keyframes (their carries fed this map), so their folds
+                # must not re-count.
+                h._refresh_kf_mirrors()
+                for p in self._pending:
+                    p["counted"] = True
+                self._carry_cache = None
+                self._replay_needed = True
 
     def trajectory_refined(self) -> List[np.ndarray]:
         self.flush()

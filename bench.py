@@ -104,6 +104,29 @@ def main_loop():
               for i in range(0, n, chunk)]
     jax.block_until_ready(chunks)
 
+    # BENCH_LOOP_VOCAB=0: same track, detector off — the open-loop drift
+    # reference the closure numbers are judged against.
+    # BENCH_LOOP_GROUP=sim3: 7-DoF essential-graph closing.
+    # BENCH_LOOP_OVER="key=val,key=val": override LoopConfig fields
+    # (ints/floats/strs parsed by the field's current type) for on-chip
+    # closure-quality experiments.
+    if os.environ.get("BENCH_LOOP_VOCAB", "1") == "0":
+        voc = None
+    import dataclasses
+    if os.environ.get("BENCH_LOOP_GROUP"):
+        cfg = dataclasses.replace(cfg, loop=dataclasses.replace(
+            cfg.loop, pose_graph_group=os.environ["BENCH_LOOP_GROUP"]))
+    if os.environ.get("BENCH_LOOP_OVER"):
+        over = {}
+        for kv in os.environ["BENCH_LOOP_OVER"].split(","):
+            k, v = kv.split("=")
+            cur = getattr(cfg.loop, k)
+            over[k] = type(cur)(float(v)) if isinstance(cur, (int, float)) \
+                else v
+        sys.stderr.write(f"[bench-loop] overrides: {over}\n")
+        cfg = dataclasses.replace(cfg,
+                                  loop=dataclasses.replace(cfg.loop, **over))
+
     warmup_chunks = 3
     t0 = time.perf_counter()
     eng = ChunkedSlamEngine(cfg, vocab=voc, chunk_size=chunk)

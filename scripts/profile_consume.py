@@ -124,6 +124,10 @@ def patched_consume(self, slot, cand_mask, scores, covis_of=None,
 
 def main():
     cfg = SlamConfig()
+    if os.environ.get("BENCH_LOOP_GROUP"):
+        import dataclasses
+        cfg = dataclasses.replace(cfg, loop=dataclasses.replace(
+            cfg.loop, pose_graph_group=os.environ["BENCH_LOOP_GROUP"]))
     n = int(os.environ.get("BENCH_FRAMES", "320"))
     chunk = int(os.environ.get("BENCH_CHUNK", "16"))
 
@@ -152,6 +156,53 @@ def main():
             return wrap
         setattr(eng, nm, mk(nm))
 
+    # split _dispatch internals: carry rebuild vs chunk call vs loop reg
+    orig_chunkfn = eng._chunk
+    def chunk_timed(carry, imgs):
+        t0 = time.perf_counter()
+        out = orig_chunkfn(carry, imgs)
+        dt = time.perf_counter() - t0
+        if dt > 0.05:
+            print(f"      [chunk call {dt * 1e3:.0f} ms]", file=sys.stderr)
+        return out
+    eng._chunk = chunk_timed
+    orig_carry = eng._carry
+    def carry_timed():
+        t0 = time.perf_counter()
+        out = orig_carry()
+        dt = time.perf_counter() - t0
+        if dt > 0.05:
+            print(f"      [carry rebuild {dt * 1e3:.0f} ms]",
+                  file=sys.stderr)
+        return out
+    eng._carry = carry_timed
+    orig_ld = eng._loop_dispatch
+    def ld_timed(*a):
+        t0 = time.perf_counter()
+        out = orig_ld(*a)
+        dt = time.perf_counter() - t0
+        if dt > 0.05:
+            print(f"      [loop_dispatch {dt * 1e3:.0f} ms]",
+                  file=sys.stderr)
+        return out
+    eng._loop_dispatch = ld_timed
+
+    # per-call timeline of the two pipeline halves
+    for nm in ("_dispatch", "_fold_one"):
+        def mk(nm):
+            orig = getattr(eng, nm)
+            def wrap(*a, **k):
+                t0 = time.perf_counter()
+                out = orig(*a, **k)
+                dt = time.perf_counter() - t0
+                tick(nm, t0)
+                if dt > 0.05:
+                    print(f"    [{nm} took {dt * 1e3:.0f} ms]",
+                          file=sys.stderr)
+                return out
+            return wrap
+        setattr(eng, nm, mk(nm))
+
     chunks = [jnp.asarray(stacked[i:i + chunk], jnp.float32)
               for i in range(0, n, chunk)]
     jax.block_until_ready(chunks)
@@ -162,8 +213,11 @@ def main():
     eng.warmup()
     print(f"warmup {time.perf_counter() - t0:.1f}s", file=sys.stderr)
     t0 = time.perf_counter()
-    for c in chunks[3:]:
+    for i, c in enumerate(chunks[3:]):
+        tc = time.perf_counter()
         eng.process_chunk(c)
+        print(f"chunk {i}: {1e3 * (time.perf_counter() - tc):.0f} ms",
+              file=sys.stderr)
     eng.flush()
     dt = time.perf_counter() - t0
     n_timed = sum(int(c.shape[0]) for c in chunks[3:])

@@ -43,8 +43,11 @@ def circle_T_cw(n, radius):
 
 
 def build_track(cfg, blind):
+    # tex_size=1024: non-tiling texture (period 42.7 m > 30 m wall span);
+    # the default 21 m period aliases loop relative-pose solves — see
+    # tests/test_loop_e2e.py circle_setup
     world = make_world(cfg, seed=5, half_width=15.0, half_length=15.0,
-                       ground_y=1.6)
+                       ground_y=1.6, tex_size=1024)
     n = 48
     gt = circle_T_cw(n, radius=6.0)
     gt = gt + gt[:24]
@@ -90,12 +93,13 @@ def run(cfg, frames, gt, voc):
 def main():
     base = SlamConfig.tiny()
     variants = {
-        "current": {},
-        "mm25": {"min_matches": 25},
-        "mm40_cd5": {"closure_cooldown_kfs": 5},
-        "mm25_cd5": {"min_matches": 25, "closure_cooldown_kfs": 5},
-        "mm55": {"min_matches": 55},
-        "cons3": {"consistency_threshold": 3},
+        "floor.01": {},
+        "floor.05": {"chain_quality_floor": 0.05},
+        "floor.2": {"chain_quality_floor": 0.2},
+        "floor1": {"chain_quality_floor": 1.0},
+        "floor1_sim3": {"chain_quality_floor": 1.0,
+                        "pose_graph_group": "sim3"},
+        "sim3": {"pose_graph_group": "sim3"},
     }
     for blind in (True, False):
         gt, frames = build_track(base, blind)

@@ -198,6 +198,17 @@ class LoopConfig:
     #                                   keyframes older than the query
     #                                   (covisibility exclusion alone is
     #                                   thinner here than in the reference)
+    relpose_neighbor_kfs: int = 4     # relative-pose solves against the
+    #                                   candidate + its top-N covisible
+    #                                   neighbors' landmarks (ORB-SLAM2
+    #                                   SearchAndFuse neighborhood). The
+    #                                   candidate alone (~a frame's worth
+    #                                   of far points) is weakly
+    #                                   conditioned: measured 1-2.4 m /
+    #                                   5-8 deg loop-edge errors passing
+    #                                   80+ reprojection inliers on the
+    #                                   revisit circle
+    relpose_landmarks: int = 4096     # dedup capacity of that gather
     min_matches: int = 40             # relative-pose acceptance — the
     #                                   ORB-SLAM2 threshold. The reference's
     #                                   8 (and an earlier 25 here) admits
@@ -236,6 +247,15 @@ class LoopConfig:
     #                                   re-closing with a weaker
     #                                   measurement only injects noise
     posegraph_iterations: int = 20
+    chain_quality_floor: float = 0.01  # floor for the tracking-quality
+    #                                   de-weighting of odometry edges
+    #                                   (info scale = clip(q / (2 *
+    #                                   tracker.min_matches), floor, 1)).
+    #                                   Low floor -> a blind/lost stretch
+    #                                   absorbs the whole loop correction
+    #                                   (right for genuinely broken
+    #                                   odometry); 1.0 disables the
+    #                                   de-weighting (uniform chain)
     info_translation: float = 100.0   # anisotropic odometry-edge info
     info_rotation: float = 100.0
     info_yaw_damp: float = 0.01       # ref wv(5,5)=0.01 (vertical-axis rot)
@@ -275,6 +295,16 @@ class MapConfig:
     max_obs_per_frame: int = 2048     # = extractor.max_keypoints
     track_landmarks: int = 3072       # local-map slots fed to the tracker
     track_recent_kfs: int = 10        # recency window for the local map
+    track_covis_kfs: int = 6          # + top covisible neighbors of the
+    #                                   latest keyframe (the reference's
+    #                                   covisibility walk, ref
+    #                                   src/pipeline.cpp:167-177). This is
+    #                                   what keeps tracking INSIDE the old
+    #                                   map after a loop closure — see
+    #                                   mapping/map_state.
+    #                                   gather_local_landmarks. 0 disables
+    track_covis_min: int = 5          # min shared landmarks to count a
+    #                                   keyframe as a covisible neighbor
     # new-landmark suppression: a keypoint whose image cell (or any of
     # its 8 neighbors) already contains a projected live landmark is
     # "claimed" and never spawns a new landmark. Geometric analog of the
@@ -340,5 +370,6 @@ class SlamConfig:
             # production decay_ratio (0.3) is tuned on the KITTI-scale
             # bench; the 10-frame tiny test worlds were calibrated at 0.4
             keyframe=KeyframeConfig(decay_ratio=0.4),
-            loop=LoopConfig(vocab_k=4, vocab_levels=3, bow_top_words=64),
+            loop=LoopConfig(vocab_k=4, vocab_levels=3, bow_top_words=64,
+                            relpose_landmarks=1024),
         )

@@ -37,20 +37,9 @@ class LoopScores(NamedTuple):
     candidates: jnp.ndarray   # (F,) bool raw candidate mask
 
 
-def covisibility_counts(m: MapState, kf_slot: jnp.ndarray) -> jnp.ndarray:
-    """(F,) number of mappoints shared with keyframe `kf_slot`.
-
-    Replaces Frame::GetNeighbors (ref src/frame.cpp:469-523): membership
-    is evaluated by scattering the query's observed ids into an (M,) mask
-    and gathering it at every keyframe's observation table.
-    """
-    M = m.mp_valid.shape[0]
-    q = m.kf_obs[kf_slot]                                  # (K,)
-    member = jnp.zeros((M + 1,), bool).at[
-        jnp.where(q >= 0, q, M)].set(True)[:M]
-    obs = m.kf_obs                                          # (F, K)
-    hit = jnp.where(obs >= 0, member[jnp.clip(obs, 0)], False)
-    return jnp.sum(hit, axis=1).astype(jnp.int32)
+# canonical implementation lives in mapping/map_state.py (the tracker's
+# local-map gather needs it too); re-exported here for the detector API
+from slam_toolkit_tpu.mapping.map_state import covisibility_counts  # noqa: E402,F401
 
 
 def score_query(m: MapState, bow_db: jnp.ndarray, bow_query: jnp.ndarray,

@@ -103,6 +103,16 @@ def build_problem(m: MapState, cam: StereoCamera,
     oldest = jnp.argmin(fid)
     pose_fixed = jnp.zeros((W,), bool).at[oldest].set(True)
 
+    # a point anchored OUTSIDE the window stays fixed: the window can
+    # lean on old structure (constant-point pose edges) but cannot drag
+    # it off its out-of-window observations — the reference's fixed
+    # out-of-window poses + anchor stereo edge (ref src/localmapper.cpp:
+    # 86-117). Without this, a loop revisit re-using lap-1 landmarks
+    # walked them meters away from their own keyframes.
+    anchors = m.mp_ref_kf[pt_ids]                      # (P,)
+    anchor_in_win = jnp.any(
+        (anchors[:, None] == window[None, :]) & win_valid[None, :], axis=1)
+
     prob = BAProblem(
         T_cw=m.kf_T_cw[window],
         pose_fixed=pose_fixed | ~win_valid,
@@ -114,6 +124,7 @@ def build_problem(m: MapState, cam: StereoCamera,
         obs_mask=obs_mask,
         stereo_mask=stereo_mask,
         baseline=cam.baseline,
+        point_free=anchor_in_win,
     )
     return prob, window, pt_ids
 

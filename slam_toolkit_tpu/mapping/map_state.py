@@ -308,14 +308,61 @@ def unique_prioritized(ids: jnp.ndarray, num_out: int,
     return (jnp.sort(pack2)[:num_out] % (M + 1)).astype(jnp.int32)
 
 
+def covisibility_counts(m: MapState, kf_slot: jnp.ndarray) -> jnp.ndarray:
+    """(F,) number of mappoints shared with keyframe `kf_slot`.
+
+    Replaces Frame::GetNeighbors (ref src/frame.cpp:469-523): membership
+    is evaluated by scattering the query's observed ids into an (M,) mask
+    and gathering it at every keyframe's observation table.
+    """
+    M = m.mp_valid.shape[0]
+    q = m.kf_obs[kf_slot]                                  # (K,)
+    member = jnp.zeros((M + 1,), bool).at[
+        jnp.where(q >= 0, q, M)].set(True)[:M]
+    obs = m.kf_obs                                          # (F, K)
+    hit = jnp.where(obs >= 0, member[jnp.clip(obs, 0)], False)
+    return jnp.sum(hit, axis=1).astype(jnp.int32)
+
+
+def camera_frustum(cam_cfg, margin: float = 1.25):
+    """Normalized-plane half-extents (nx_max, ny_max) of a pinhole
+    camera, widened by `margin` so landmarks just outside the current
+    view (about to enter as the camera turns) survive the gather filter."""
+    nx = margin * max(cam_cfg.cx, cam_cfg.width - cam_cfg.cx) / cam_cfg.fx
+    ny = margin * max(cam_cfg.cy, cam_cfg.height - cam_cfg.cy) / cam_cfg.fy
+    return (float(nx), float(ny))
+
+
 def gather_local_landmarks(m: MapState, num_out: int,
-                           recent: int = 10):
-    """Mappoints observed by the `recent` most recently inserted keyframes.
+                           recent: int = 10, covis_kfs: int = 0,
+                           covis_min: int = 5, frustum=None):
+    """Mappoints observed by the `recent` most recently inserted keyframes
+    plus (covis_kfs > 0) the latest keyframe's top covisible neighbors.
 
     Returns (Xw (L,3), desc (L,8), ids (L,), valid (L,)) with L = num_out.
-    Replaces the covisibility walk + latest-frames fuse of
-    ref src/pipeline.cpp:167-177 with a recency window (equivalent for
-    odometry; loop-revisit recall comes from the loop-closing path).
+    The two components mirror the reference's tracking set — covisibility
+    walk from the latest keyframe fused with the 10 latest frames'
+    mappoints (ref src/pipeline.cpp:167-177). The covisibility half is
+    what keeps tracking INSIDE the old map after a loop closure: the
+    mappoint merge seeds shared observations at the seam, each new
+    keyframe then adopts its neighbors' landmarks, and the shared-
+    observation wave rides forward around the loop — so re-traversed
+    regions reuse old landmarks instead of duplicating them, and the
+    loop detector's covisibility exclusion suppresses noisy re-closures
+    of an already-consistent seam (with recency only, lap-2 keyframes
+    never became covisible with lap-1 and every re-detection injected a
+    fresh noisy pose-graph edge).
+
+    frustum: optional (nx_max, ny_max) normalized-plane half-extents of
+    the camera. When given, the covisibility half keeps only landmarks
+    IN VIEW of the latest keyframe (positive depth, |x/z| <= nx_max,
+    |y/z| <= ny_max — the behind-camera/out-of-frame cull of the
+    reference's ProjectionMatch, ref src/matcher.cpp:143-160). Without
+    it, a covisible neighbor's whole observation row competes for the
+    fixed num_out slots and out-of-view old landmarks can displace the
+    current-location ones the tracker actually needs (measured: tracking
+    quality collapsed 79 -> 15 on the revisit circle).
+
     Truncation (rare under claim-grid suppression) keeps established
     landmarks — see unique_prioritized.
     """
@@ -324,6 +371,26 @@ def gather_local_landmarks(m: MapState, num_out: int,
     fid = jnp.where(m.kf_valid, m.kf_frame_id, -1)
     _, recent_slots = jax.lax.top_k(fid, recent)        # newest first
     ids = m.kf_obs[recent_slots].reshape(-1)            # (recent*K,)
+    if covis_kfs > 0:
+        K = m.kf_obs.shape[1]
+        latest = jnp.argmax(fid)
+        cov = covisibility_counts(m, latest)
+        in_recent = jnp.zeros((F,), bool).at[recent_slots].set(True)
+        cov = jnp.where(m.kf_valid & ~in_recent, cov, 0)
+        cov_top, cov_slots = jax.lax.top_k(cov, covis_kfs)
+        cids = m.kf_obs[cov_slots].reshape(-1)          # (covis_kfs*K,)
+        keep = jnp.repeat(cov_top >= covis_min, K) & (cids >= 0)
+        if frustum is not None:
+            safe = jnp.where(keep, cids, 0)
+            Xc = se3.transform(m.kf_T_cw[latest],
+                               mappoint_positions_at(m, safe))
+            z = Xc[..., 2]
+            zs = jnp.maximum(z, 1e-6)
+            keep = keep & (z > 0.05) & \
+                (jnp.abs(Xc[..., 0] / zs) <= frustum[0]) & \
+                (jnp.abs(Xc[..., 1] / zs) <= frustum[1])
+        cids = jnp.where(keep, cids, -1)
+        ids = jnp.concatenate([ids, cids])
     uniq = unique_prioritized(ids, num_out, m)
     ok = uniq < m.mp_valid.shape[0]
     safe = jnp.where(ok, uniq, 0)

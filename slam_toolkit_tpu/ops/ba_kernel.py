@@ -85,8 +85,8 @@ def _gauss_jordan(M, n):
     "iters", "huber_delta", "lambda0", "lambda_up", "lambda_down",
     "trim_sigma", "interpret"))
 def _ba_pallas(Tw, free, Xr, z3, inv_sigma, obs_w, stereo_w, pt_valid,
-               baseline, bd_masks, iters, huber_delta, lambda0, lambda_up,
-               lambda_down, trim_sigma, interpret=False):
+               pt_free, baseline, bd_masks, iters, huber_delta, lambda0,
+               lambda_up, lambda_down, trim_sigma, interpret=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -97,12 +97,14 @@ def _ba_pallas(Tw, free, Xr, z3, inv_sigma, obs_w, stereo_w, pt_valid,
     trim = float(trim_sigma)
 
     def kernel(T_ref, fp_ref, X_ref, z_ref, is_ref, ow_ref, sw_ref,
-               pv_ref, bl_ref, bd_ref, oT_ref, oX_ref, oc_ref, or2_ref):
+               pv_ref, pf_ref, bl_ref, bd_ref, oT_ref, oX_ref, oc_ref,
+               or2_ref):
         fp = fp_ref[:]                                 # (W, 1) free pose
         isg = is_ref[:]                                # (W, P)
         ow = ow_ref[:]                                 # (W, P) obs mask
         sw = sw_ref[:]                                 # (W, P) stereo mask
         pv = pv_ref[:]                                 # (1, P) point valid
+        pfree = pf_ref[:]                              # (1, P) point free
         bl = bl_ref[0, 0]                              # () baseline
         z0, z1, z2 = z_ref[0], z_ref[1], z_ref[2]      # (W, P)
         eyeW = (jax.lax.broadcasted_iota(jnp.int32, (n6, n6), 0) ==
@@ -196,6 +198,15 @@ def _ba_pallas(Tw, free, Xr, z3, inv_sigma, obs_w, stereo_w, pt_valid,
                 return (v0 * (Ar[0] * Br[0] + Ar[1] * Br[1]) +
                         v2 * Ar[2] * Br[2])
 
+            # point-block weights: fixed points contribute only
+            # constant-point pose edges (see optim/local_ba.py)
+            v0l = v0 * pfree
+            v2l = v2 * pfree
+
+            def edotl(Ar, Br):
+                return (v0l * (Ar[0] * Br[0] + Ar[1] * Br[1]) +
+                        v2l * Ar[2] * Br[2])
+
             jp_c = [[jp[r][a] for r in range(3)] for a in range(6)]
             jl_c = [[jl[r][a] for r in range(3)] for a in range(3)]
             rr = [r0, r1, r2]
@@ -209,17 +220,17 @@ def _ba_pallas(Tw, free, Xr, z3, inv_sigma, obs_w, stereo_w, pt_valid,
             Hll = {}
             for a in range(3):
                 for b in range(a, 3):
-                    Hll[(a, b)] = jnp.sum(edot(jl_c[a], jl_c[b]), axis=0,
+                    Hll[(a, b)] = jnp.sum(edotl(jl_c[a], jl_c[b]), axis=0,
                                           keepdims=True)
-            blv = [jnp.sum(-edot(jl_c[a], rr), axis=0, keepdims=True)
+            blv = [jnp.sum(-edotl(jl_c[a], rr), axis=0, keepdims=True)
                    for a in range(3)]
             # Hpl blocks stay full (W, P)
-            Hpl = [[edot(jp_c[a], jl_c[b]) for b in range(3)]
+            Hpl = [[edotl(jp_c[a], jl_c[b]) for b in range(3)]
                    for a in range(6)]
 
             # damping + guards (mirrors solve_ba)
-            pt_act = pv * ((jnp.sum(ow, axis=0, keepdims=True) > 0)
-                           .astype(jnp.float32))
+            pt_act = pv * pfree * ((jnp.sum(ow, axis=0, keepdims=True) > 0)
+                                   .astype(jnp.float32))
             h00 = Hll[(0, 0)] * (1.0 + lam) + 1e-4
             h11 = Hll[(1, 1)] * (1.0 + lam) + 1e-4
             h22 = Hll[(2, 2)] * (1.0 + lam) + 1e-4
@@ -400,11 +411,11 @@ def _ba_pallas(Tw, free, Xr, z3, inv_sigma, obs_w, stereo_w, pt_valid,
                    jax.ShapeDtypeStruct((3, P), jnp.float32),
                    jax.ShapeDtypeStruct((1, 1), jnp.float32),
                    jax.ShapeDtypeStruct((W, P), jnp.float32)),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 10,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 11,
         out_specs=tuple([pl.BlockSpec(memory_space=pltpu.VMEM)] * 4),
         interpret=interpret,
-    )(Tw, free, Xr, z3, inv_sigma, obs_w, stereo_w, pt_valid, baseline,
-      bd_masks)
+    )(Tw, free, Xr, z3, inv_sigma, obs_w, stereo_w, pt_valid, pt_free,
+      baseline, bd_masks)
     return out
 
 
@@ -436,11 +447,14 @@ def solve_ba(p: BAProblem, iters: int = 10, huber_delta: float = 2.4477468,
     Tw = p.T_cw.reshape(W, 16)
     Xr = p.Xw.T                                        # (3, P)
     z3 = jnp.transpose(p.z, (2, 0, 1))                 # (3, W, P)
+    free_pt = p.point_valid if p.point_free is None \
+        else (p.point_valid & p.point_free)
     T_f, X_f, cost, r2 = _ba_pallas(
         Tw, free, Xr, z3, p.inv_sigma,
         w_mask.astype(jnp.float32),
         (p.stereo_mask & w_mask).astype(jnp.float32),
         p.point_valid.astype(jnp.float32)[None, :],
+        free_pt.astype(jnp.float32)[None, :],
         jnp.asarray(p.baseline, jnp.float32).reshape(1, 1),
         jnp.asarray(_block_diag_masks(W)),
         int(iters), float(huber_delta), float(lambda0), float(lambda_up),

@@ -43,6 +43,19 @@ class BAProblem(NamedTuple):
     obs_mask: jnp.ndarray    # (W, P) bool
     stereo_mask: jnp.ndarray  # (W, P) bool — third residual row active
     baseline: jnp.ndarray    # () stereo baseline (normalized-x units = meters)
+    point_free: jnp.ndarray = None  # (P,) bool — optimizable landmarks.
+    #                          None = all free. A point anchored OUTSIDE
+    #                          the window stays FIXED: its residuals
+    #                          still pull the window POSES (constant-
+    #                          point edges), but the window cannot drag
+    #                          old structure off its out-of-window
+    #                          observations (the reference constrains
+    #                          such points with fixed out-of-window
+    #                          pose edges + the anchor stereo edge,
+    #                          ref src/localmapper.cpp:86-117; measured
+    #                          here: on a revisit, window-only BA walked
+    #                          re-used lap-1 landmarks meters away from
+    #                          their own keyframes' poses)
 
 
 class BAResult(NamedTuple):
@@ -171,6 +184,8 @@ def solve_ba(p: BAProblem, iters: int = 10, huber_delta: float = 2.4477468,
     P = p.Xw.shape[0]
     w_mask = p.obs_mask & p.pose_valid[:, None] & p.point_valid[None, :]
     free_pose = (~p.pose_fixed) & p.pose_valid
+    free_pt = p.point_valid if p.point_free is None \
+        else (p.point_valid & p.point_free)
 
     # an edge whose point lands BEHIND its camera must cost more than
     # any plausible reprojection error, not drop out: comparing costs
@@ -191,12 +206,15 @@ def solve_ba(p: BAProblem, iters: int = 10, huber_delta: float = 2.4477468,
         r, w_rob, Jp, Jl, _ = _edge_terms(T, X, p.z, p.inv_sigma, w_mask,
                                           p.stereo_mask, p.baseline,
                                           huber_delta, trim_sigma)
-        # block accumulations
+        # block accumulations. Pose blocks see every edge; point blocks
+        # (and the Schur coupling) only the FREE points' — a fixed point
+        # contributes exactly a constant-point pose edge.
+        w_rob_l = w_rob * free_pt[None, :, None].astype(jnp.float32)
         Hpp = jnp.einsum('wpra,wpr,wprb->wab', Jp, w_rob, Jp)   # (W, 6, 6)
-        Hll = jnp.einsum('wpra,wpr,wprb->pab', Jl, w_rob, Jl)   # (P, 3, 3)
-        Hpl = jnp.einsum('wpra,wpr,wprb->wpab', Jp, w_rob, Jl)  # (W, P, 6, 3)
+        Hll = jnp.einsum('wpra,wpr,wprb->pab', Jl, w_rob_l, Jl)  # (P, 3, 3)
+        Hpl = jnp.einsum('wpra,wpr,wprb->wpab', Jp, w_rob_l, Jl)  # (W,P,6,3)
         bp = -jnp.einsum('wpra,wpr,wpr->wa', Jp, w_rob, r)      # (W, 6)
-        bl = -jnp.einsum('wpra,wpr,wpr->pa', Jl, w_rob, r)      # (P, 3)
+        bl = -jnp.einsum('wpra,wpr,wpr->pa', Jl, w_rob_l, r)    # (P, 3)
 
         # damping; absolute floors keep Hll_inv bounded in f32 — without
         # them a weakly-constrained point block inverts to ~1e16 and the
@@ -206,7 +224,7 @@ def solve_ba(p: BAProblem, iters: int = 10, huber_delta: float = 2.4477468,
         Hpp_d = Hpp + lam * Hpp * eyew + 1e-6 * eyew
         Hll_d = Hll + lam * Hll * eyep + 1e-4 * eyep
         # guard empty/invalid points with identity blocks
-        pt_active = p.point_valid & (jnp.sum(w_mask, axis=0) > 0)
+        pt_active = free_pt & (jnp.sum(w_mask, axis=0) > 0)
         Hll_d = jnp.where(pt_active[:, None, None], Hll_d, eyep)
         bl = jnp.where(pt_active[:, None], bl, 0.0)
         Hll_inv = _inv3x3(Hll_d)                                # (P, 3, 3)

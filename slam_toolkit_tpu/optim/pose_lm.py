@@ -31,11 +31,18 @@ class PoseLMResult(NamedTuple):
 
 
 def _residuals(T_cw: jnp.ndarray, Xw: jnp.ndarray, z_norm: jnp.ndarray,
-               inv_sigma: jnp.ndarray):
+               inv_sigma: jnp.ndarray, stereo=None):
     """Whitened normalized-reprojection residuals and camera-frame points.
 
     r = (pi(T Xw) - z) / sigma, shape (N, 2). Points behind the camera are
     flagged (their weight is zeroed by the caller mask).
+
+    stereo: optional (z_right_norm (N,), stereo_mask (N,), baseline ())
+    adds a third row ((x - b)/z - ur_n)/sigma, zeroed where no stereo
+    measurement exists — the reference's stereo edge residual
+    (EdgeStereoSE3ProjectXYZ, ref src/method.cpp:43-57). The stereo row
+    pins the view-axis translation and scale that pure reprojection
+    leaves weakly observable.
     """
     Xc = se3.transform(T_cw, Xw)
     z = Xc[..., 2]
@@ -43,14 +50,21 @@ def _residuals(T_cw: jnp.ndarray, Xw: jnp.ndarray, z_norm: jnp.ndarray,
     zsafe = jnp.where(good, z, 1.0)
     pred = jnp.stack([Xc[..., 0] / zsafe, Xc[..., 1] / zsafe], axis=-1)
     r = (pred - z_norm) * inv_sigma[:, None]
+    if stereo is not None:
+        z_right, s_mask, b = stereo
+        pred_r = (Xc[..., 0] - b) / zsafe
+        r3 = (pred_r - z_right) * inv_sigma * s_mask
+        r = jnp.concatenate([r, r3[:, None]], axis=-1)
     return r, Xc, good
 
 
-def _jacobian(Xc: jnp.ndarray, inv_sigma: jnp.ndarray) -> jnp.ndarray:
+def _jacobian(Xc: jnp.ndarray, inv_sigma: jnp.ndarray,
+              stereo=None) -> jnp.ndarray:
     """d(whitened residual)/d(xi) for left-mult update T <- exp(xi) T.
 
     J = 1/sigma * [dpi/dXc] @ [I | -hat(Xc)], shape (N, 2, 6),
-    xi layout [rho(3), phi(3)].
+    xi layout [rho(3), phi(3)]. With `stereo` (see _residuals) a third
+    row for the right-x residual, zeroed where no stereo.
     """
     x, y, z = Xc[..., 0], Xc[..., 1], Xc[..., 2]
     zs = jnp.where(z > 1e-3, z, 1.0)
@@ -66,7 +80,16 @@ def _jacobian(Xc: jnp.ndarray, inv_sigma: jnp.ndarray) -> jnp.ndarray:
                     -x * y * iz2, 1.0 + x * x * iz2, -y * iz], axis=-1)
     jv = jnp.stack([zero, iz, -y * iz2,
                     -(1.0 + y * y * iz2), x * y * iz2, x * iz], axis=-1)
-    J = jnp.stack([ju, jv], axis=-2)  # (N, 2, 6)
+    rows = [ju, jv]
+    if stereo is not None:
+        _, s_mask, b = stereo
+        xb = x - b
+        # d((x-b)/z)/dXc = [1/z, 0, -(x-b)/z^2]; chain with [I | -hat(Xc)]
+        jr = jnp.stack([iz, zero, -xb * iz2,
+                        -xb * y * iz2, 1.0 + x * xb * iz2, -y * iz],
+                       axis=-1) * s_mask[:, None]
+        rows.append(jr)
+    J = jnp.stack(rows, axis=-2)  # (N, 2 or 3, 6)
     return J * inv_sigma[:, None, None]
 
 
@@ -93,11 +116,13 @@ def reprojection_inliers(cam_left, T_cw: jnp.ndarray, Xw: jnp.ndarray,
 
 def optimize_pose(T_init: jnp.ndarray, Xw: jnp.ndarray, z_norm: jnp.ndarray,
                   sigma2: jnp.ndarray, weight_mask: jnp.ndarray,
-                  cfg: TrackerConfig) -> PoseLMResult:
+                  cfg: TrackerConfig, stereo=None) -> PoseLMResult:
     """LM over cfg.num_iterations with accept/reject damping.
 
     Xw (N,3) fixed landmarks, z_norm (N,2) normalized observations,
     sigma2 (N,) per-octave variances, weight_mask (N,) 0/1 validity.
+    stereo: optional (z_right_norm, stereo_mask, baseline) — see
+    _residuals; trace-time None keeps the 2-row hot tracking path.
     """
     inv_sigma = jax.lax.rsqrt(jnp.maximum(sigma2, 1e-12))
     w_valid = weight_mask.astype(jnp.float32)
@@ -109,17 +134,17 @@ def optimize_pose(T_init: jnp.ndarray, Xw: jnp.ndarray, z_norm: jnp.ndarray,
     behind_cost = robust.huber_cost(jnp.float32(1e3), cfg.huber_delta)
 
     def cost_at(T):
-        r, _, good = _residuals(T, Xw, z_norm, inv_sigma)
+        r, _, good = _residuals(T, Xw, z_norm, inv_sigma, stereo)
         return _robust_cost(r, w_valid * good, cfg.huber_delta) + \
             behind_cost * jnp.sum(w_valid * (1.0 - good))
 
     def step(carry, _):
         T, lam, cost = carry
-        r, Xc, good = _residuals(T, Xw, z_norm, inv_sigma)
+        r, Xc, good = _residuals(T, Xw, z_norm, inv_sigma, stereo)
         w = w_valid * good
         rn = jnp.linalg.norm(r, axis=-1)
         w_rob = w * robust.huber_weight(rn, cfg.huber_delta)
-        J = _jacobian(Xc, inv_sigma)
+        J = _jacobian(Xc, inv_sigma, stereo)
         # H = sum_i w_i J_i^T J_i ; b = -sum_i w_i J_i^T r_i
         H = jnp.einsum('nri,n,nrj->ij', J, w_rob, J)
         b = -jnp.einsum('nri,n,nr->i', J, w_rob, r)
@@ -137,7 +162,7 @@ def optimize_pose(T_init: jnp.ndarray, Xw: jnp.ndarray, z_norm: jnp.ndarray,
     init = (T_init, jnp.float32(cfg.lm_lambda0), cost_at(T_init))
     (T_fin, _, cost_fin), _ = jax.lax.scan(
         step, init, None, length=cfg.num_iterations)
-    r_fin, _, good = _residuals(T_fin, Xw, z_norm, inv_sigma)
+    r_fin, _, good = _residuals(T_fin, Xw, z_norm, inv_sigma, stereo)
     r2 = jnp.sum(r_fin * r_fin, axis=-1)
     r2 = jnp.where(w_valid * good > 0, r2, jnp.inf)
     return PoseLMResult(T_cw=T_fin, cost=cost_fin, inlier_r2=r2)

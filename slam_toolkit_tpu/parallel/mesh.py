@@ -22,7 +22,8 @@ from slam_toolkit_tpu.frontend.frame import build_frame
 from slam_toolkit_tpu.frontend.tracker import track_pose
 from slam_toolkit_tpu.geometry.camera import StereoCamera
 from slam_toolkit_tpu.mapping.ba_adapter import local_ba_step
-from slam_toolkit_tpu.mapping.map_state import (MapState, empty_map,
+from slam_toolkit_tpu.mapping.map_state import (MapState, camera_frustum,
+                                                empty_map,
                                                 gather_local_landmarks)
 
 
@@ -45,7 +46,9 @@ def batched_track_step(cfg: SlamConfig, cam: StereoCamera):
     def one(m: MapState, image: jnp.ndarray, T_pred: jnp.ndarray):
         frame = build_frame(image, cam, cfg)
         Xw, desc, ids, valid = gather_local_landmarks(
-            m, cfg.map.track_landmarks, cfg.map.track_recent_kfs)
+            m, cfg.map.track_landmarks, cfg.map.track_recent_kfs,
+            cfg.map.track_covis_kfs, cfg.map.track_covis_min,
+            camera_frustum(cfg.camera))
         res = track_pose(frame, Xw, desc, valid, T_pred, cam, cfg)
         return res.T_cw, res.n_inliers
 
@@ -102,11 +105,17 @@ def batched_bootstrap(cfg: SlamConfig, cam: StereoCamera):
         frame = build_frame(left, cam, cfg)
         frame = add_stereo(frame, left, right, cam, cfg)
         L = cfg.map.track_landmarks
+        # full bootstrap quality — unmeasured, not bad (see
+        # pipeline/engine._make_keyframe)
         m2, slot = insert_keyframe(
             m, frame, jnp.eye(4), jnp.int32(0),
             jnp.zeros((L,), jnp.int32), jnp.zeros((L,), jnp.int32),
-            jnp.zeros((L,), bool), cfg)
-        lm = gather_local_landmarks(m2, L, cfg.map.track_recent_kfs)
+            jnp.zeros((L,), bool), cfg,
+            quality=jnp.float32(2 * cfg.tracker.min_matches))
+        lm = gather_local_landmarks(m2, L, cfg.map.track_recent_kfs,
+                                    cfg.map.track_covis_kfs,
+                                    cfg.map.track_covis_min,
+                                    camera_frustum(cfg.camera))
         return ChunkCarry(
             m=m2, T_cw=jnp.eye(4), velocity=jnp.eye(4),
             lm_Xw=lm[0], lm_desc=lm[1], lm_ids=lm[2], lm_valid=lm[3],

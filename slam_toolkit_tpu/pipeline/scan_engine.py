@@ -29,7 +29,8 @@ from slam_toolkit_tpu.geometry import se3
 from slam_toolkit_tpu.geometry.camera import StereoCamera
 from slam_toolkit_tpu.mapping import keyframe as kf_rule
 from slam_toolkit_tpu.mapping.ba_adapter import local_ba_step
-from slam_toolkit_tpu.mapping.map_state import (MapState, empty_map,
+from slam_toolkit_tpu.mapping.map_state import (MapState, camera_frustum,
+                                                empty_map,
                                                 gather_local_landmarks,
                                                 insert_keyframe)
 
@@ -130,7 +131,9 @@ def make_frame_body(cfg: SlamConfig, cam: StereoCamera):
                       carry.lm_valid)
             else:
                 lm = gather_local_landmarks(
-                    m3, cfg.map.track_landmarks, cfg.map.track_recent_kfs)
+                    m3, cfg.map.track_landmarks, cfg.map.track_recent_kfs,
+                    cfg.map.track_covis_kfs, cfg.map.track_covis_min,
+                    camera_frustum(cfg.camera))
             return m3, lm, slot.astype(jnp.int32), m3.kf_T_cw[slot]
 
         def no_branch(op):

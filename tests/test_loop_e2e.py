@@ -40,8 +40,15 @@ def circle_setup():
     """Box room, 1.5 laps of a circle; a blind window mid-lap forces
     drift so the revisit genuinely needs explicit loop closure."""
     cfg = SlamConfig.tiny()
+    # tex period (tex_size / texels_per_m) must exceed the 30 m wall
+    # span: the default 21 m tiling creates REAL repeated structure, and
+    # loop relative-pose locks onto texture-period-shifted solutions
+    # whose aliased matches outnumber the true ones (measured 75 vs 54
+    # on this circle — no robust estimator can reject a majority).
+    # Real imagery does not tile; the synthetic world must not either
+    # (same fix as bench.py's loop world).
     world = make_world(cfg, seed=5, half_width=15.0, half_length=15.0,
-                      ground_y=1.6)
+                      ground_y=1.6, tex_size=1024)
     n = 48
     gt = _circle_T_cw(n, radius=6.0)
     gt = gt + gt[:24]

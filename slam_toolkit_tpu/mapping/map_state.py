@@ -374,7 +374,19 @@ def gather_local_landmarks(m: MapState, num_out: int,
     if covis_kfs > 0:
         K = m.kf_obs.shape[1]
         latest = jnp.argmax(fid)
-        cov = covisibility_counts(m, latest)
+        # anchor-ownership covisibility: count, per keyframe, how many of
+        # the latest keyframe's observed landmarks IT ANCHORS. One small
+        # gather (K indices) + a (K, F) compare-reduce the VPU fuses —
+        # exact covisibility (covisibility_counts) needs a gather with
+        # F*K indices, which Mosaic lowers element-at-a-time inside the
+        # scan. Anchors are the canonical owners, so this ranks the same
+        # old-map neighbors; it only undercounts keyframes that merely
+        # re-observe (which the recency half already covers).
+        q = m.kf_obs[latest]                              # (K,)
+        anc = jnp.where(q >= 0, m.mp_ref_kf[jnp.clip(q, 0)], -1)
+        cov = jnp.sum(anc[:, None] ==
+                      jnp.arange(F, dtype=jnp.int32)[None, :],
+                      axis=0).astype(jnp.int32)           # (F,)
         in_recent = jnp.zeros((F,), bool).at[recent_slots].set(True)
         cov = jnp.where(m.kf_valid & ~in_recent, cov, 0)
         cov_top, cov_slots = jax.lax.top_k(cov, covis_kfs)

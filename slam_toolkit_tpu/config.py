@@ -247,15 +247,20 @@ class LoopConfig:
     #                                   re-closing with a weaker
     #                                   measurement only injects noise
     posegraph_iterations: int = 20
-    chain_quality_floor: float = 0.01  # floor for the tracking-quality
+    chain_quality_floor: float = 0.2  # floor for the tracking-quality
     #                                   de-weighting of odometry edges
     #                                   (info scale = clip(q / (2 *
     #                                   tracker.min_matches), floor, 1)).
     #                                   Low floor -> a blind/lost stretch
-    #                                   absorbs the whole loop correction
-    #                                   (right for genuinely broken
-    #                                   odometry); 1.0 disables the
-    #                                   de-weighting (uniform chain)
+    #                                   absorbs nearly the whole loop
+    #                                   correction; 1.0 disables the
+    #                                   de-weighting (uniform chain).
+    #                                   0.2 swept best on the blind-drift
+    #                                   circle (seam 0.278 vs 0.562 m at
+    #                                   0.01, 2.44 m at 1.0) and is
+    #                                   indistinguishable when odometry
+    #                                   never breaks
+    #                                   (scripts/sweep_loop_quality.py)
     info_translation: float = 100.0   # anisotropic odometry-edge info
     info_rotation: float = 100.0
     info_yaw_damp: float = 0.01       # ref wv(5,5)=0.01 (vertical-axis rot)

@@ -27,6 +27,14 @@ class ExtractorConfig:
     num_features: int = 2000          # requested features across all levels
     scale_factor: float = 1.2
     num_levels: int = 8
+    # "poly": exact 6:5 polyphase cascade (scale_factor must be 1.2) —
+    # each level is five static-stride weighted adds per axis, pure VPU,
+    # no gathers and no MXU passes (~10x cheaper than the matmul
+    # formulation, see ops/pyramid.py). "matmul": banded interpolation
+    # matmuls, any scale factor (the round-1 design, kept for non-1.2
+    # rigs). Level shapes differ by <=6 px between modes (poly pads each
+    # level to a multiple of 6 before resampling).
+    pyramid_mode: str = "poly"
     fast_threshold_high: int = 20     # initial FAST threshold
     fast_threshold_low: int = 7       # fallback threshold in sparse cells
     # dual-threshold rank boost (the reference's 20->7 per-cell retry,

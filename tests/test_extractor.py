@@ -108,3 +108,57 @@ def test_selected_keypoints_on_blobs():
     near = sum(1 for p in xy
                if min(abs(p[0] - x) + abs(p[1] - y) for y, x in pts) <= 3)
     assert near >= len(xy) * 0.5, f"only {near}/{len(xy)} near blobs"
+
+
+def test_poly_pyramid_matches_sampling_grid():
+    """poly mode == bilinear at x = 1.2*o + 0.1 per axis, exactly."""
+    import dataclasses
+    rng = np.random.default_rng(7)
+    img = rng.uniform(0, 255, (94, 130)).astype(np.float32)
+
+    def np_down(a, axis):
+        pad = (-a.shape[axis]) % 6
+        if pad:
+            a = np.concatenate([a, np.take(a, [-1] * pad, axis=axis)],
+                               axis=axis)
+        m = a.shape[axis] // 6
+        o = np.arange(5 * m)
+        x = 1.2 * o + 0.1
+        x0 = np.floor(x).astype(int)
+        f = x - x0
+        g0 = np.take(a, x0, axis=axis)
+        g1 = np.take(a, x0 + 1, axis=axis)
+        if axis == 0:
+            f = f[:, None]
+        return (1 - f) * g0 + f * g1
+
+    cfg = dataclasses.replace(ExtractorConfig(), num_levels=4,
+                              pyramid_mode="poly")
+    levels = jax.jit(lambda x: pyramid.build_pyramid(x, cfg))(
+        jnp.asarray(img))
+    ref = img
+    shapes = pyramid.level_shapes(94, 130, cfg)
+    for i, lv in enumerate(levels):
+        lv = np.asarray(lv)
+        assert lv.shape == shapes[i]
+        np.testing.assert_allclose(lv, ref, atol=2e-4)
+        ref = np_down(np_down(ref, 0), 1)
+
+
+def test_poly_and_matmul_pyramids_agree():
+    """The two modes sample the same pyramid up to shape padding."""
+    import dataclasses
+    rng = np.random.default_rng(11)
+    # 6|h and 6|w: identical shapes at level 1, comparable content
+    img = jnp.asarray(rng.uniform(0, 255, (96, 132)).astype(np.float32))
+    poly = dataclasses.replace(ExtractorConfig(), num_levels=2,
+                               pyramid_mode="poly")
+    mat = dataclasses.replace(ExtractorConfig(), num_levels=2,
+                              pyramid_mode="matmul")
+    lv_p = np.asarray(pyramid.build_pyramid(img, poly)[1])
+    lv_m = np.asarray(pyramid.build_pyramid(img, mat)[1])
+    h = min(lv_p.shape[0], lv_m.shape[0])
+    w = min(lv_p.shape[1], lv_m.shape[1])
+    # same 1.2x bilinear downsample, bf16-HIGH matmul vs exact f32:
+    # agree to well under an intensity LSB
+    assert np.abs(lv_p[:h, :w] - lv_m[:h, :w]).max() < 0.5

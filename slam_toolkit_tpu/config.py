@@ -27,14 +27,17 @@ class ExtractorConfig:
     num_features: int = 2000          # requested features across all levels
     scale_factor: float = 1.2
     num_levels: int = 8
-    # "poly": exact 6:5 polyphase cascade (scale_factor must be 1.2) —
-    # each level is five static-stride weighted adds per axis, pure VPU,
-    # no gathers and no MXU passes (~10x cheaper than the matmul
-    # formulation, see ops/pyramid.py). "matmul": banded interpolation
-    # matmuls, any scale factor (the round-1 design, kept for non-1.2
-    # rigs). Level shapes differ by <=6 px between modes (poly pads each
-    # level to a multiple of 6 before resampling).
-    pyramid_mode: str = "poly"
+    # "matmul": banded interpolation matmuls, any scale factor — the
+    # default: in the full bench it is both faster (582-590 vs 554-566
+    # fps, 2x2 interleaved same-hour A/B) and more accurate (ATE 0.138
+    # vs 0.150 m) than poly, despite poly winning the isolated pyramid
+    # microbenchmark ~10x (the pyramid is not the critical path inside
+    # the fused chunk program, and poly's <=6 px level-shape padding
+    # shifts keypoint selection). "poly": exact 6:5 polyphase cascade
+    # (scale_factor must be 1.2) — five static-stride weighted adds per
+    # axis, pure VPU, no gathers/MXU; kept as an option for rigs where
+    # extraction dominates.
+    pyramid_mode: str = "matmul"
     fast_threshold_high: int = 20     # initial FAST threshold
     fast_threshold_low: int = 7       # fallback threshold in sparse cells
     # dual-threshold rank boost (the reference's 20->7 per-cell retry,

@@ -88,6 +88,11 @@ def main(argv=None):
                               "min_cluster_size": 20}
     if args.min_flow_p95 is not None:
         kw["min_flow_p95"] = args.min_flow_p95
+    stride = kw.get("sample_stride", DenseConfig().sample_stride)
+    grid_pts = len(range(stride // 2, h, stride)) * \
+        len(range(stride // 2, w, stride))
+    kw["max_points"] = max(DenseConfig().max_points,
+                           ((grid_pts + 127) // 128) * 128)
     ccfg = DenseConfig(**kw)
     tracker = DenseTracker(cam, ccfg)
 
@@ -102,16 +107,16 @@ def main(argv=None):
         if not row["skipped"]:
             row["flow_p95"] = round(out["flow_p95"], 2)
             row["n_points"] = out["n_points"]
+            row["n_tracked"] = out["n_tracked"]
+            row["n_new_clusters"] = out["n_new_clusters"]
             row["clusters"] = [
                 {k: (v.tolist() if isinstance(v, np.ndarray) else v)
                  for k, v in c.items()} for c in out["clusters"]]
-            if args.out and tracker.prev_frame is not None:
-                # re-derive per-point labels for the mask (one extra
-                # jitted dispatch against the frame just processed)
-                f = tracker.prev_frame
-                lab, _ = tracker._cluster(f.pts_xyz, f.pts_valid)
-                mask = label_mask(left.shape, np.asarray(f.pts_uv),
-                                  np.asarray(lab), ccfg.sample_stride)
+            if args.out:
+                # the tracker's per-point labels ARE the mask source;
+                # rasterize them into the MakeMask cell painting
+                mask = label_mask(left.shape, out["pts_uv"],
+                                  out["labels"], ccfg.sample_stride)
                 save_mask_png(os.path.join(args.out, f"mask_{i:06d}.png"),
                               left, mask)
         stats.append(row)

@@ -292,7 +292,19 @@ class LoopConfig:
     # vocabulary (ours is trained, not ORBvoc.txt: branching k, depth L)
     vocab_k: int = 10
     vocab_levels: int = 4             # 10^4 = 10k words
-    bow_top_words: int = 256          # per-frame sparse BoW width
+    bow_mode: str = "auto"            # "auto" | "dense" | "topw". The
+    #                                   dense (F, W) BoW database is
+    #                                   exact and cheap at 10k words but
+    #                                   4 GB at the reference's 1M-word
+    #                                   ORBvoc scale (ref
+    #                                   TemplatedVocabulary.h:1338+);
+    #                                   "topw" stores fixed-width sorted
+    #                                   (word, weight) rows and scores by
+    #                                   vectorized merge-join (SURVEY
+    #                                   §7.3; ref ScoringObject.cpp:34-60)
+    bow_dense_max_words: int = 65536  # "auto" switches to topw above this
+    bow_top_words: int = 512          # per-frame sparse BoW width; exact
+    #                                   when >= distinct words per frame
 
 
 @dataclasses.dataclass(frozen=True)

@@ -42,11 +42,14 @@ class LoopScores(NamedTuple):
 from slam_toolkit_tpu.mapping.map_state import covisibility_counts  # noqa: E402,F401
 
 
-def score_query(m: MapState, bow_db: jnp.ndarray, bow_query: jnp.ndarray,
+def score_query(m: MapState, bow_db, bow_query,
                 kf_slot: jnp.ndarray, cfg: LoopConfig) -> LoopScores:
-    """Score one keyframe's BoW against the whole database (jit-safe)."""
-    from slam_toolkit_tpu.loop.vocab import l1_score
-    scores = l1_score(bow_query, bow_db)
+    """Score one keyframe's BoW against the whole database (jit-safe).
+
+    `bow_db`/`bow_query` are either dense (F, W)/(W,) vectors or
+    top-w sparse rows (vocab.TopWBow) — vocab.bow_score dispatches."""
+    from slam_toolkit_tpu.loop.vocab import bow_score
+    scores = bow_score(bow_query, bow_db)
     valid = m.kf_valid & (jnp.arange(m.kf_valid.shape[0]) != kf_slot)
     scores = jnp.where(valid, scores, -1.0)
 

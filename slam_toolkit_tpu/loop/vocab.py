@@ -298,3 +298,122 @@ def l1_score(query: jnp.ndarray, database: jnp.ndarray) -> jnp.ndarray:
     (ref DBoW2/ScoringObject.cpp:23-67). database: (F, W).
     """
     return 1.0 - 0.5 * jnp.sum(jnp.abs(database - query[None, :]), axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# top-w sparse BoW (ORBvoc-scale vocabularies)
+# ---------------------------------------------------------------------------
+#
+# The dense (F, W) database is exact and MXU-friendly at the default
+# 10k-word vocabulary, but the reference's actual ORBvoc is k=10, L=6
+# ~= 1M words (ref thirdparty/DBoW2/DBoW2/TemplatedVocabulary.h:1338+,
+# src/pipeline.cpp:60-67) — a dense f32 db would be 4 GB at F=1024.
+# SURVEY §7.3's prescription: fixed-width per-frame sparse rows of the
+# top-w (word, weight) entries sorted by word id, scored by merge-join
+# like DBoW2's sparse-map intersection (ref DBoW2/ScoringObject.cpp:34-60).
+#
+# TPU shape: a frame has at most K (#features) distinct words, so w=K
+# is EXACT; smaller w keeps the heaviest TF-IDF entries. The merge-join
+# becomes a vectorized binary search (`searchsorted`) of the query's w
+# sorted words in each row's w sorted words — (F, w, log w) work, no
+# data-dependent shapes. Scoring uses the min-intersection identity:
+# for L1-normalized non-negative vectors,
+#     1 - 0.5*|q - d|_1  =  sum_i min(q_i, d_i),
+# so only matched words contribute — exactly the sparse-intersection
+# walk of ScoringObject.cpp:34-60.
+#
+# Padding: empty slots carry word id = num_words (sorts last) and
+# weight 0; a pad-pad "match" contributes min(0, 0) = 0, so no special
+# casing anywhere.
+
+class TopWBow(NamedTuple):
+    """Per-frame (or batched) sparse BoW rows, sorted by word id."""
+    words: jnp.ndarray      # (..., w) int32, pad = num_words
+    weights: jnp.ndarray    # (..., w) float32, pad = 0
+
+
+def bow_topw(voc: Vocabulary, desc: jnp.ndarray, valid: jnp.ndarray,
+             top_w: int) -> TopWBow:
+    """Sparse top-w L1-normalized TF-IDF BoW of one frame.
+
+    Normalization happens over the FULL vector before truncation, so
+    kept weights equal their dense counterparts and sparse scores lower-
+    bound dense scores (equal when the frame has <= top_w distinct
+    words)."""
+    import jax
+    words = descriptor_words(voc, desc, valid)
+    w = voc.num_words
+    safe = jnp.where(words >= 0, words, w)
+    hist = jnp.zeros((w + 1,)).at[safe].add(1.0)[:w]
+    vec = hist * voc.weights                       # >= 0
+    vec = vec / jnp.maximum(jnp.sum(vec), 1e-12)
+    kk = min(top_w, w)                             # tiny-vocab guard
+    top_vals, top_idx = jax.lax.top_k(vec, kk)
+    if kk < top_w:
+        top_vals = jnp.pad(top_vals, (0, top_w - kk))
+        top_idx = jnp.pad(top_idx, (0, top_w - kk))
+    wi = jnp.where(top_vals > 0, top_idx, w)       # empty -> pad id
+    order = jnp.argsort(wi)
+    return TopWBow(words=wi[order].astype(jnp.int32),
+                   weights=top_vals[order])
+
+
+def topw_l1_score(query: TopWBow, db: TopWBow) -> jnp.ndarray:
+    """L1 similarity of one sparse BoW row against many: (F,) scores."""
+    import jax
+    qw, qv = query.words, query.weights
+
+    def row(dw, dv):
+        pos = jnp.clip(jnp.searchsorted(dw, qw), 0, dw.shape[0] - 1)
+        hit = dw[pos] == qw
+        return jnp.sum(jnp.where(hit, jnp.minimum(qv, dv[pos]), 0.0))
+
+    return jax.vmap(row)(db.words, db.weights)
+
+
+# ---------------------------------------------------------------------------
+# representation-dispatching helpers (dense | top-w)
+# ---------------------------------------------------------------------------
+
+def use_sparse(voc: Vocabulary, cfg_loop) -> bool:
+    """Pick the BoW backend: explicit bow_mode, else dense up to
+    bow_dense_max_words (the (F, W) db stays small), sparse beyond."""
+    mode = getattr(cfg_loop, "bow_mode", "auto")
+    if mode == "dense":
+        return False
+    if mode == "topw":
+        return True
+    return voc.num_words > getattr(cfg_loop, "bow_dense_max_words", 65536)
+
+
+def make_bow_db(voc: Vocabulary, capacity: int, sparse: bool,
+                top_w: int):
+    """Empty keyframe BoW database for either backend."""
+    if not sparse:
+        return jnp.zeros((capacity, voc.num_words))
+    return TopWBow(
+        words=jnp.full((capacity, top_w), voc.num_words, jnp.int32),
+        weights=jnp.zeros((capacity, top_w)))
+
+
+def bow_query(voc: Vocabulary, desc: jnp.ndarray, valid: jnp.ndarray,
+              sparse: bool, top_w: int):
+    """One frame's BoW in the database's representation (jit-safe)."""
+    if not sparse:
+        return bow_vector(voc, desc, valid)
+    return bow_topw(voc, desc, valid, top_w)
+
+
+def bow_score(query, db) -> jnp.ndarray:
+    """(F,) L1 similarity of one query against the whole db (jit-safe)."""
+    if isinstance(db, TopWBow):
+        return topw_l1_score(query, db)
+    return l1_score(query, db)
+
+
+def db_set(db, slot, query):
+    """Write one frame's BoW at `slot` (dynamic index, jit-safe)."""
+    if isinstance(db, TopWBow):
+        return TopWBow(words=db.words.at[slot].set(query.words),
+                       weights=db.weights.at[slot].set(query.weights))
+    return db.at[slot].set(query)

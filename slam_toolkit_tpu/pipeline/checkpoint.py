@@ -37,7 +37,12 @@ def save(engine: "SlamEngine", path: str) -> None:
         arrays["anchor_rel"] = np.stack(
             [r for _, r in engine._traj_anchor]).astype(np.float32)
     if engine.vocab is not None:
-        arrays["bow_db"] = np.asarray(engine.bow_db)
+        from slam_toolkit_tpu.loop.vocab import TopWBow
+        if isinstance(engine.bow_db, TopWBow):
+            arrays["bow_db_words"] = np.asarray(engine.bow_db.words)
+            arrays["bow_db_weights"] = np.asarray(engine.bow_db.weights)
+        else:
+            arrays["bow_db"] = np.asarray(engine.bow_db)
         arrays["closed_i"] = np.asarray(engine.closed_i)
         arrays["closed_j"] = np.asarray(engine.closed_j)
         arrays["closed_T"] = np.asarray(engine.closed_T)
@@ -73,8 +78,15 @@ def load(engine: "SlamEngine", path: str) -> "SlamEngine":
     if "anchor_slots" in z.files:
         engine._traj_anchor = [
             (int(s), r) for s, r in zip(z["anchor_slots"], z["anchor_rel"])]
-    if engine.vocab is not None and "bow_db" in z.files:
-        engine.bow_db = jnp.asarray(z["bow_db"])
+    if engine.vocab is not None and ("bow_db" in z.files
+                                     or "bow_db_words" in z.files):
+        if "bow_db_words" in z.files:
+            from slam_toolkit_tpu.loop.vocab import TopWBow
+            engine.bow_db = TopWBow(
+                words=jnp.asarray(z["bow_db_words"]),
+                weights=jnp.asarray(z["bow_db_weights"]))
+        else:
+            engine.bow_db = jnp.asarray(z["bow_db"])
         engine.closed_i = jnp.asarray(z["closed_i"])
         engine.closed_j = jnp.asarray(z["closed_j"])
         engine.closed_T = jnp.asarray(z["closed_T"])

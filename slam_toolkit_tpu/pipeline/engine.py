@@ -73,8 +73,11 @@ class SlamEngine:
         self.loop_events: List[dict] = []
         if vocab is not None:
             from slam_toolkit_tpu.loop.detector import ConsistencyTracker
+            from slam_toolkit_tpu.loop import vocab as vocab_mod
             f = self.cfg.map.max_keyframes
-            self.bow_db = jnp.zeros((f, vocab.num_words))
+            self._bow_sparse = vocab_mod.use_sparse(vocab, self.cfg.loop)
+            self.bow_db = vocab_mod.make_bow_db(
+                vocab, f, self._bow_sparse, self.cfg.loop.bow_top_words)
             self.consistency = ConsistencyTracker(
                 self.cfg.loop.consistency_threshold)
             self.closed_i = jnp.zeros(MAX_CLOSED_LOOPS, jnp.int32)
@@ -255,9 +258,12 @@ class SlamEngine:
             from slam_toolkit_tpu.loop import vocab as vocab_mod
             voc = self.vocab
 
+            sparse = self._bow_sparse
+            top_w = cfg.loop.bow_top_words
+
             @jax.jit
             def _bow(desc, valid):
-                return vocab_mod.bow_vector(voc, desc, valid)
+                return vocab_mod.bow_query(voc, desc, valid, sparse, top_w)
 
             @jax.jit
             def _loop_score(m, bow_db, query, slot):
@@ -347,13 +353,14 @@ class SlamEngine:
 
                 def bv(s):
                     desc = m.kf_desc[s].reshape(-1, 8)
-                    return vocab_mod.bow_vector(voc, desc,
-                                                m.kf_kpt_valid[s])
-                qs = jax.vmap(bv)(slots)                      # (C, W)
+                    return vocab_mod.bow_query(voc, desc,
+                                               m.kf_kpt_valid[s],
+                                               sparse, top_w)
+                qs = jax.vmap(bv)(slots)            # (C, W) or TopWBow
                 # non-keyframe rows scatter out of bounds -> dropped
-                F = bow_db.shape[0]
+                F = (bow_db.words if sparse else bow_db).shape[0]
                 safe = jnp.where(slot_valid, slots, F)
-                db = bow_db.at[safe].set(qs)
+                db = vocab_mod.db_set(bow_db, safe, qs)
                 sc = jax.vmap(
                     lambda q, s: det_mod.score_query(m, db, q, s, cfg.loop)
                 )(qs, slots)
@@ -523,9 +530,9 @@ class SlamEngine:
     def _try_relocalize(self, frame):
         """BoW-rank keyframes against the lost frame; re-track the best.
         Returns a corrected T_pred or None."""
-        from slam_toolkit_tpu.loop.vocab import l1_score
+        from slam_toolkit_tpu.loop.vocab import bow_score
         q = self._bow(frame.feats.desc, frame.feats.valid)
-        scores = np.array(l1_score(q, self.bow_db))   # writable copy
+        scores = np.array(bow_score(q, self.bow_db))  # writable copy
         scores[~np.asarray(self.map.kf_valid)] = -1.0
         for cand in np.argsort(-scores)[:3]:
             if scores[cand] <= 0.0:
@@ -643,8 +650,9 @@ class SlamEngine:
 
     # ----- loop closing (the mapping-thread work) ----------------------------
     def _loop_step(self, frame, slot: int):
+        from slam_toolkit_tpu.loop.vocab import db_set
         q = self._bow(frame.feats.desc, frame.feats.valid)
-        self.bow_db = self.bow_db.at[slot].set(q)
+        self.bow_db = db_set(self.bow_db, slot, q)
         self._loop_kf_detect(slot, q)
 
     def _loop_kf_detect(self, slot: int, q):

@@ -269,3 +269,32 @@ def test_scan_engine_replay(circle_setup):
     assert all(np.isfinite(T).all() for T in traj)
     seam = _seam_error(eng)
     assert seam < 3.5, f"scan-engine seam error {seam:.2f} m"
+
+
+def test_topw_dbow2_roundtrip_closure(circle_setup, tmp_path):
+    """ORBvoc-format interop + sparse BoW, end to end: the trained
+    vocabulary round-trips through the DBoW2 text format
+    (ref TemplatedVocabulary.h:1338+ save/load), the engine is forced
+    onto the top-w sparse BoW database (SURVEY §7.3 — the ORBvoc-scale
+    representation), and a loop closure still fires on the revisit
+    circle with seam quality comparable to the dense run."""
+    import dataclasses
+    cfg, world, gt, frames, voc = circle_setup
+    p = str(tmp_path / "voc_dbow2.txt")
+    V.save_dbow2_text(voc, p)
+    voc2 = V.load_dbow2_text(p)
+    assert voc2.num_words == voc.num_words
+
+    cfg2 = dataclasses.replace(
+        cfg, loop=dataclasses.replace(cfg.loop, bow_mode="topw",
+                                      bow_top_words=256))
+    eng = SlamEngine(cfg2, vocab=voc2)
+    assert eng._bow_sparse
+    assert isinstance(eng.bow_db, V.TopWBow)
+    for lf, rf in frames:
+        eng.process(lf, rf)
+    closures = [e for e in eng.loop_events if "cand" in e]
+    assert closures, \
+        f"no closure via topw + dbow2 roundtrip; events={eng.loop_events}"
+    seam = _seam_error(eng)
+    assert seam < 3.0, f"topw closed seam {seam:.2f} m"

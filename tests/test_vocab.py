@@ -109,3 +109,114 @@ def test_dbow2_text_roundtrip(tmp_path):
     for a, b in zip(w1, w2):
         assert m.setdefault(a, b) == b
     assert len(set(m.values())) == len(m)
+
+
+def test_topw_matches_dense_scores():
+    """Sparse top-w scoring equals dense L1 when w >= distinct words,
+    and lower-bounds it when truncated (SURVEY §7.3 top-w design;
+    ref DBoW2/ScoringObject.cpp:34-60 sparse intersection)."""
+    rng = np.random.default_rng(4)
+    voc = V.train(rand_desc(rng, 1500), k=4, levels=3, seed=2)
+    valid = jnp.ones(128, bool)
+    frames = [jnp.asarray(rand_desc(rng, 128)) for _ in range(6)]
+    dense_q = [V.bow_vector(voc, d, valid) for d in frames]
+    dense_db = jnp.stack(dense_q)
+    # w = 128 >= distinct words per 128-descriptor frame: exact
+    sq = [V.bow_topw(voc, d, valid, 128) for d in frames]
+    db = V.TopWBow(words=jnp.stack([s.words for s in sq]),
+                   weights=jnp.stack([s.weights for s in sq]))
+    for i in range(6):
+        s_dense = np.asarray(V.l1_score(dense_q[i], dense_db))
+        s_sparse = np.asarray(V.topw_l1_score(sq[i], db))
+        np.testing.assert_allclose(s_sparse, s_dense, atol=1e-5)
+    # truncated width: a LOWER BOUND that keeps self-similarity on top
+    sq16 = [V.bow_topw(voc, d, valid, 16) for d in frames]
+    db16 = V.TopWBow(words=jnp.stack([s.words for s in sq16]),
+                     weights=jnp.stack([s.weights for s in sq16]))
+    s16 = np.asarray(V.topw_l1_score(sq16[0], db16))
+    s_dense0 = np.asarray(V.l1_score(dense_q[0], dense_db))
+    assert (s16 <= s_dense0 + 1e-5).all()
+    assert s16.argmax() == 0
+
+
+def test_topw_db_helpers_dispatch():
+    """make_bow_db / db_set / bow_score round-trip in both backends."""
+    rng = np.random.default_rng(5)
+    voc = V.train(rand_desc(rng, 600), k=4, levels=2, seed=0)
+    d = jnp.asarray(rand_desc(rng, 64))
+    ok = jnp.ones(64, bool)
+    for sparse in (False, True):
+        db = V.make_bow_db(voc, 8, sparse, top_w=64)
+        q = V.bow_query(voc, d, ok, sparse, top_w=64)
+        db = V.db_set(db, jnp.int32(3), q)
+        s = np.asarray(V.bow_score(q, db))
+        assert s.shape == (8,)
+        assert abs(s[3] - 1.0) < 1e-5, s
+        # unregistered sparse rows must score 0 (pure padding)
+        if sparse:
+            assert (np.delete(s, 3) < 1e-6).all(), s
+
+
+def _synthetic_big_vocab(k: int, levels: int, seed: int) -> "V.Vocabulary":
+    """Directly construct a full k-ary tree vocabulary (no training):
+    the ORBvoc-scale runtime test needs the SHAPE (>=1e5 words), not a
+    meaningful clustering."""
+    rng = np.random.default_rng(seed)
+    counts = [k ** l for l in range(levels + 1)]
+    n = sum(counts)
+    nodes = rng.integers(0, 2 ** 32, (n, 8), dtype=np.uint32)
+    children = np.full((n, k), 0, np.int64)
+    level_start = np.cumsum([0] + counts)
+    for lvl in range(levels):
+        s, e = level_start[lvl], level_start[lvl + 1]
+        for i in range(s, e):
+            base = level_start[lvl + 1] + (i - s) * k
+            children[i] = np.arange(base, base + k)
+    leaves = np.arange(level_start[levels], n)
+    word_id = np.full(n, -1, np.int64)
+    word_id[leaves] = np.arange(leaves.size)
+    for i in leaves:
+        children[i] = i                      # self-padding at leaves
+    weights = rng.uniform(0.5, 2.0, leaves.size).astype(np.float32)
+    return V.Vocabulary(nodes=jnp.asarray(nodes),
+                        children=jnp.asarray(children, jnp.int32),
+                        word_id=jnp.asarray(word_id, jnp.int32),
+                        weights=jnp.asarray(weights),
+                        k=k, levels=levels)
+
+
+def test_orbvoc_scale_topw_runtime():
+    """A k=10, L=5 (100k-word) vocabulary runs the full sparse
+    query->register->score path under the production memory budget —
+    the regime where the dense (F, W) database is impossible
+    (ref ORBvoc is k=10, L=6 ~= 1M words, src/pipeline.cpp:60-67;
+    at F=1024 dense f32 would be 4 GB; top-w rows are ~2 MB)."""
+    voc = _synthetic_big_vocab(k=10, levels=5, seed=0)
+    assert voc.num_words >= 100_000
+
+    rng = np.random.default_rng(6)
+    w = 512
+    F = 64
+    db = V.make_bow_db(voc, F, sparse=True, top_w=w)
+    sparse_bytes = db.words.size * 4 + db.weights.size * 4
+    dense_bytes = F * voc.num_words * 4
+    assert sparse_bytes < dense_bytes / 50, (sparse_bytes, dense_bytes)
+
+    # register frames; frame 40 is a revisit of frame 8 (90% shared
+    # descriptors) — it must out-score every unrelated frame
+    base = rand_desc(rng, 256)
+    queries = []
+    for i in range(F):
+        d = rand_desc(rng, 256)
+        if i == 40:
+            d[:230] = base[:230]
+        if i == 8:
+            d = base
+        q = V.bow_query(voc, jnp.asarray(d), jnp.ones(256, bool),
+                        sparse=True, top_w=w)
+        queries.append(q)
+        db = V.db_set(db, jnp.int32(i), q)
+    s = np.array(V.bow_score(queries[40], db))
+    s[40] = -1.0
+    assert s.argmax() == 8, (s.argmax(), s[8], np.sort(s)[-3:])
+    assert s[8] > 2 * np.delete(s, [8, 40]).max()

@@ -292,6 +292,68 @@ def main_dp():
     }))
 
 
+def _sweep_seed(cfg, chunk, stacked, gt):
+    """One short sweep run over an already-staged sequence; reuses the
+    compiled chunk program (shapes are static across seeds). Returns
+    (fps, ate_m)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from slam_toolkit_tpu.evaluation.traj import ate_rmse
+    from slam_toolkit_tpu.pipeline.scan_engine import ChunkedSlamEngine
+
+    n = stacked.shape[0] // chunk * chunk
+    chunks = [jnp.asarray(stacked[i:i + chunk], jnp.float32)
+              for i in range(0, n, chunk)]
+    jax.block_until_ready(chunks)
+    eng = ChunkedSlamEngine(cfg, chunk_size=chunk)
+    for c in chunks[:2]:
+        eng.process_chunk(c)
+    eng.flush()
+    t0 = time.perf_counter()
+    for c in chunks[2:]:
+        eng.process_chunk(c)
+    eng.flush()
+    dt = time.perf_counter() - t0
+    n_timed = sum(int(c.shape[0]) for c in chunks[2:])
+    traj = eng.trajectory_refined()
+    return n_timed / dt, ate_rmse(traj, gt[:len(traj)], align=True)
+
+
+def _multi_seed_sweep(cfg, chunk, stacked7, gt7):
+    """BENCH_SEEDS (default 3): 96-frame runs over distinct world seeds
+    so the round-end JSON carries mean/max ATE across seeds instead of
+    one seed's keypoint-selection luck (BASELINE.md: single-seed ATE
+    moves ±0.05 m). Seed 7's row is the prefix of the already-staged
+    headline sequence; extra seeds render-or-mmap their own cache
+    (pre-rendered; ~5 min each if ever absent)."""
+    import sys
+    n_seeds = int(os.environ.get("BENCH_SEEDS", "3"))
+    if n_seeds <= 1:
+        return None
+    sweep_frames = int(os.environ.get("BENCH_SWEEP_FRAMES", "96"))
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "scripts"))
+    from bench_sweep import load_or_render
+    rows = []
+    for seed in (7, 11, 13, 17, 19)[:n_seeds]:
+        if seed == 7:
+            stacked, gt = stacked7[:sweep_frames], gt7[:sweep_frames]
+        else:
+            stacked, gt = load_or_render(cfg, sweep_frames, seed)
+        fps, ate = _sweep_seed(cfg, chunk, stacked, gt)
+        rows.append({"seed": seed, "fps": round(fps, 1),
+                     "ate_m": round(ate, 3)})
+        sys.stderr.write(f"[bench-sweep] {rows[-1]}\n")
+    ates = [r["ate_m"] for r in rows]
+    return {"seeds": len(rows), "frames": sweep_frames,
+            "ate_mean_m": round(float(np.mean(ates)), 3),
+            "ate_max_m": round(float(np.max(ates)), 3),
+            "per_seed": rows}
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -308,6 +370,12 @@ def main():
     from slam_toolkit_tpu.pipeline.scan_engine import ChunkedSlamEngine
 
     cfg = SlamConfig()  # full KITTI-scale shapes
+    if os.environ.get("BENCH_METHOD"):
+        # BENCH_METHOD=direct: photometric tracking in the chunked
+        # engine (the Method-strategy axis, ref include/method.h:33-50)
+        import dataclasses
+        cfg = dataclasses.replace(cfg, tracker=dataclasses.replace(
+            cfg.tracker, method=os.environ["BENCH_METHOD"]))
     chunk = int(os.environ.get("BENCH_CHUNK", "16"))
     # keep n_frames a multiple of chunk: a ragged tail chunk would
     # recompile the scan inside the timed window
@@ -346,12 +414,21 @@ def main():
         f"keyframes {n_kf}, "
         f"mappoints {int(eng.map.mp_valid.sum())}\n")
 
-    print(json.dumps({
-        "metric": "kitti_scale_track_lba_fps",
+    method = os.environ.get("BENCH_METHOD", "")
+    out = {
+        "metric": "kitti_scale_track_lba_fps" + (f"_{method}" if method
+                                                 else ""),
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / 500.0, 4),
-    }))
+        "ate_m": round(ate, 3),
+        "rpe_t_m": round(rpe_t, 4),
+    }
+    if not method:      # sweep only for the headline indirect config
+        sweep = _multi_seed_sweep(cfg, chunk, stacked, gt)
+        if sweep:
+            out["sweep"] = sweep
+    print(json.dumps(out))
 
 
 def _wait_for_tpu(attempts: int = 6, probe_timeout_s: int = 240) -> None:
@@ -362,6 +439,19 @@ def _wait_for_tpu(attempts: int = 6, probe_timeout_s: int = 240) -> None:
     timeout, retrying while the lease expires; exit 1 with a legible
     error if the chip never comes back."""
     import subprocess
+
+    # take the cross-process chip lease FIRST: a concurrently running
+    # pytest test_tpu_kernels holds it while its subprocess owns the
+    # chip; waiting here with a message beats silently queueing on the
+    # relay's grant poll for 867 s (BASELINE.md r2 confirm-run note)
+    from slam_toolkit_tpu.utils.chip_lease import ChipLease
+    lease = ChipLease()
+    if not lease.try_acquire():
+        sys.stderr.write(f"[bench] chip lease held ({lease.holder()}); "
+                         f"waiting up to 900 s...\n")
+        if not lease.acquire(timeout_s=900.0):
+            sys.stderr.write("[bench] proceeding WITHOUT the lease after "
+                             "timeout (holder may be dead)\n")
     for i in range(attempts):
         try:
             r = subprocess.run(

@@ -258,6 +258,25 @@ class LoopConfig:
     #                                   re-closing with a weaker
     #                                   measurement only injects noise
     posegraph_iterations: int = 20
+    seam_ba: bool = True              # run one local-BA pass over a
+    #                                   both-sides window (current +
+    #                                   candidate + covisible KFs) right
+    #                                   after each closure — the
+    #                                   reference always runs local BA
+    #                                   on the mapping thread after
+    #                                   CloseLoop (ref src/pipeline.cpp:
+    #                                   137-138); the pose graph alone
+    #                                   corrects chains but never
+    #                                   re-optimizes seam structure
+    seam_ba_min_corr_m: float = 0.75  # only when the closure moved the
+    #                                   current keyframe by at least this
+    #                                   much: on an already-consistent
+    #                                   seam BA has nothing to fix and
+    #                                   measurably walks it instead
+    #                                   (low-drift circle: 0.73 m ->
+    #                                   0.99 m), while after a real
+    #                                   correction it helps (blind
+    #                                   circle: 0.28 -> 0.26 m)
     chain_quality_floor: float = 0.2  # floor for the tracking-quality
     #                                   de-weighting of odometry edges
     #                                   (info scale = clip(q / (2 *

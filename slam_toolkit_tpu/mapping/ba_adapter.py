@@ -52,13 +52,35 @@ def select_points(m: MapState, window: jnp.ndarray, P: int):
     return safe, ok & m.mp_valid[safe]
 
 
+def select_seam_window(m: MapState, cur: jnp.ndarray, cand: jnp.ndarray,
+                       W: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Both-sides window around a just-closed loop seam: the current
+    and candidate keyframes (forced in) plus the keyframes most
+    covisible with EITHER — after merge_mappoints the two sides share
+    landmarks, so covisibility spans the seam. Newest-side poses bend
+    toward the held old side via the oldest-fixed gauge that
+    build_problem applies to any window."""
+    from slam_toolkit_tpu.mapping.map_state import covisibility_counts
+    c1 = covisibility_counts(m, cur)
+    c2 = covisibility_counts(m, cand)
+    score = jnp.maximum(c1, c2).astype(jnp.float32)
+    score = jnp.where(m.kf_valid, score, -1.0)
+    big = jnp.float32(1e9)
+    score = score.at[cur].set(big).at[cand].set(big - 1.0)
+    vals, slots = jax.lax.top_k(score, W)
+    slots = slots.astype(jnp.int32)
+    return slots, (vals > 0) & m.kf_valid[slots]
+
+
 def build_problem(m: MapState, cam: StereoCamera,
-                  cfg: SlamConfig) -> Tuple[BAProblem, jnp.ndarray,
-                                            jnp.ndarray]:
+                  cfg: SlamConfig, window=None,
+                  win_valid=None, fixed_mask=None
+                  ) -> Tuple[BAProblem, jnp.ndarray, jnp.ndarray]:
     W = cfg.local_ba.window_keyframes
     P = cfg.local_ba.max_points
     K = m.kf_obs.shape[1]
-    window, win_valid = select_window(m, W)
+    if window is None:
+        window, win_valid = select_window(m, W)
     pt_ids, pt_valid = select_points(m, window, P)
 
     # invert the observation table: kpt_at[w, p] = keypoint index of
@@ -97,11 +119,16 @@ def build_problem(m: MapState, cam: StereoCamera,
     stereo_mask = obs_mask & (got[:, :, 4] > 0.5)
 
     Xw = mappoint_positions_at(m, pt_ids)
-    # gauge: the OLDEST valid keyframe in the window is fixed (ref :62-75);
-    # if only one KF exists, it is fixed trivially.
-    fid = jnp.where(win_valid, m.kf_frame_id[window], jnp.iinfo(jnp.int32).max)
-    oldest = jnp.argmin(fid)
-    pose_fixed = jnp.zeros((W,), bool).at[oldest].set(True)
+    if fixed_mask is None:
+        # gauge: the OLDEST valid keyframe in the window is fixed
+        # (ref :62-75); if only one KF exists, it is fixed trivially.
+        fid = jnp.where(win_valid, m.kf_frame_id[window],
+                        jnp.iinfo(jnp.int32).max)
+        oldest = jnp.argmin(fid)
+        pose_fixed = jnp.zeros((W,), bool).at[oldest].set(True)
+    else:
+        # caller-supplied gauge (seam BA fixes the whole old side)
+        pose_fixed = fixed_mask
 
     # a point anchored OUTSIDE the window stays fixed: the window can
     # lean on old structure (constant-point pose edges) but cannot drag
@@ -158,10 +185,12 @@ def write_back(m: MapState, res: BAResult, window: jnp.ndarray,
     return m._replace(kf_T_cw=kf_T_cw, mp_invd=mp_invd, mp_valid=mp_valid)
 
 
-def local_ba_step(m: MapState, cam: StereoCamera, cfg: SlamConfig) -> MapState:
+def local_ba_step(m: MapState, cam: StereoCamera, cfg: SlamConfig,
+                  window=None, win_valid=None, fixed_mask=None) -> MapState:
     """One local-BA pass over the current window (the mapping-thread work,
     ref src/pipeline.cpp:137-138)."""
-    prob, window, pt_ids = build_problem(m, cam, cfg)
+    prob, window, pt_ids = build_problem(m, cam, cfg, window, win_valid,
+                                         fixed_mask)
     from slam_toolkit_tpu.ops import ba_kernel
     from slam_toolkit_tpu.utils.kernel_probe import use_pallas
     if use_pallas("local_ba", ba_kernel._probe):
@@ -187,3 +216,29 @@ def local_ba_step(m: MapState, cam: StereoCamera, cfg: SlamConfig) -> MapState:
         cost=res.cost, edge_r2=res.edge_r2)
     return write_back(m, res, window, prob.pose_valid, prob.pose_fixed,
                       pt_ids, prob.point_valid)
+
+
+def seam_ba_step(m: MapState, cur: jnp.ndarray, cand: jnp.ndarray,
+                 cam: StereoCamera, cfg: SlamConfig) -> MapState:
+    """Post-closure seam BA: one local-BA pass whose window straddles the
+    just-closed loop (current + candidate + their covisible keyframes).
+
+    The reference always runs local BA on the mapping thread after a
+    closure (ref src/pipeline.cpp:137-138, src/localmapper.cpp:122-162);
+    without it the pose graph corrects keyframe CHAINS but nothing
+    re-optimizes structure around the seam, leaving the merged landmarks
+    inconsistent with both sides' observations.
+
+    Gauge: STRUCTURE-ONLY — every pose in the window is held fixed and
+    only landmarks move. The pose graph + RANSAC seam measurement just
+    placed the keyframes; letting reprojection BA re-move them fights
+    the (more accurate) seam measurement and measurably walked the whole
+    revisit off by ~1 m (low-drift circle diag: 0.73 m no-seam-BA /
+    1.66 m oldest-only gauge / 0.99 m old-side-fixed gauge). What IS
+    stale after a closure is the structure: merged landmarks must become
+    consistent with BOTH sides' observations before the next frames
+    track against them."""
+    window, win_valid = select_seam_window(m, cur, cand,
+                                           cfg.local_ba.window_keyframes)
+    return local_ba_step(m, cam, cfg, window, win_valid,
+                         fixed_mask=jnp.ones_like(win_valid))

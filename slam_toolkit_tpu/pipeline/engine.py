@@ -366,9 +366,15 @@ class SlamEngine:
                 )(qs, slots)
                 return db, sc
 
+            @jax.jit
+            def _seam_ba(m, cur, cand):
+                from slam_toolkit_tpu.mapping.ba_adapter import seam_ba_step
+                return seam_ba_step(m, cur, cand, cam, cfg)
+
             self._bow, self._loop_score, self._covis = _bow, _loop_score, _covis
             self._relpose, self._close = _relpose, _close
             self._bow_register = _bow_register
+            self._seam_ba = _seam_ba
 
     # ----- driver -----------------------------------------------------------
     def process(self, left, right) -> np.ndarray:
@@ -558,6 +564,8 @@ class SlamEngine:
         z = jnp.int32(0)
         outs = [self._covis(self.map, jnp.zeros((8,), jnp.int32))]
         outs.append(self._relpose(self.map, z, z))
+        if self.cfg.loop.seam_ba:
+            outs.append(self._seam_ba(empty_map(self.cfg), z, z))
         jax.block_until_ready(outs)
         # compile the tier a closure would use RIGHT NOW plus the next
         # one up. Fixed tiers[:2] missed the scan engine's raised margin
@@ -747,12 +755,28 @@ class SlamEngine:
             k = self.n_closed % MAX_CLOSED_LOOPS
             tier = self._close_tier()
             self._ensure_tier(tier)
+            # closure-correction magnitude at the current keyframe
+            # (gates seam BA below): distance between the measured loop
+            # pose's camera center and the pre-closure estimate's
+            T_pre = np.asarray(self.map.kf_T_cw)[slot]
+            T_meas = np.asarray(rel.T_cw)
+            corr_m = float(np.linalg.norm(
+                T_pre[:3, :3].T @ T_pre[:3, 3]
+                - T_meas[:3, :3].T @ T_meas[:3, 3]))
             (self.map, self.closed_i, self.closed_j, self.closed_T,
              self.closed_valid, self.closed_w) = self._close(
                 self.map, jnp.int32(slot), jnp.int32(cand), rel.T_cw,
                 self.closed_i, self.closed_j, self.closed_T,
                 self.closed_valid, self.closed_w, jnp.int32(k), rel.scale,
                 rel.n_inliers.astype(jnp.float32), tier)
+            if (self.cfg.loop.seam_ba
+                    and corr_m >= self.cfg.loop.seam_ba_min_corr_m):
+                # re-optimize structure around the just-closed seam
+                # (the reference's always-run post-closure local BA,
+                # ref src/pipeline.cpp:137-138) — but only when the
+                # closure actually moved things (seam_ba_min_corr_m)
+                self.map = self._seam_ba(self.map, jnp.int32(slot),
+                                         jnp.int32(cand))
             self.n_closed += 1
             self._last_closure_nkf = self.n_keyframes
             self._closed_pairs.append((fid, fid_cand, n_new))

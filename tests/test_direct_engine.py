@@ -47,3 +47,29 @@ def test_direct_map_grows(run_direct):
     eng, _ = run_direct
     assert eng.n_keyframes >= 1
     assert eng.num_mappoints() > 50
+
+
+def test_direct_chunked_engine():
+    """The chunked scan engine (the production/bench path) tracks
+    photometrically too: the anchor keyframe image rides the scan carry
+    (ChunkCarry.kf_img) so the whole direct method stays inside the
+    fused chunk program (VERDICT r2 missing #3)."""
+    from slam_toolkit_tpu.pipeline.scan_engine import ChunkedSlamEngine
+
+    base = SlamConfig.tiny()
+    cfg = dataclasses.replace(
+        base, tracker=dataclasses.replace(base.tracker, method="direct"))
+    world, gt, frames = make_sequence(cfg, n_frames=9, seed=3, step=0.25)
+    bright = []
+    for i, (l, r) in enumerate(frames):
+        g = 1.0 + 0.02 * i
+        off = 1.2 * i
+        bright.append((np.clip(g * l + off, 0, 255),
+                       np.clip(g * r + off, 0, 255)))
+    eng = ChunkedSlamEngine(cfg, chunk_size=4)
+    eng.run(bright)
+    traj = eng.trajectory_refined()
+    assert len(traj) == len(gt)
+    err = ate_rmse(traj, gt, align=True)
+    assert err < 0.2, f"chunked direct-method ATE RMSE {err:.3f} m"
+    assert eng._host.n_keyframes >= 1

@@ -17,6 +17,17 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 @pytest.mark.slow
 def test_tpu_kernels_production_shapes():
+    # shared chip-lease guard (utils/chip_lease.py): if bench.py (or
+    # another suite run) holds the exclusive chip, skip loudly instead
+    # of silently queueing on the relay's grant poll — that queueing
+    # once cost a concurrent bench an 867 s warmup (BASELINE.md)
+    sys.path.insert(0, REPO)
+    from slam_toolkit_tpu.utils.chip_lease import ChipLease
+    lease = ChipLease()
+    if not lease.try_acquire():
+        pytest.skip(f"TPU chip lease held by a concurrent run "
+                    f"({lease.holder()}) — not queueing on the relay")
+
     env = dict(os.environ)
     # undo the conftest's CPU pinning for the child
     env.pop("JAX_PLATFORMS", None)
@@ -27,23 +38,28 @@ def test_tpu_kernels_production_shapes():
     if stashed is not None:
         env["PALLAS_AXON_POOL_IPS"] = stashed
     try:
-        probe = subprocess.run(
-            [sys.executable, "-c",
-             "import jax; jax.devices(); print('TPU_UP')"],
-            env=env, capture_output=True, text=True, timeout=240)
-        if "TPU_UP" not in probe.stdout:
-            pytest.skip("no TPU reachable (probe failed)")
-    except subprocess.TimeoutExpired:
-        pytest.skip("TPU unreachable (device probe timed out)")
-    try:
-        r = subprocess.run(
-            [sys.executable, os.path.join(REPO, "scripts",
-                                          "tpu_kernel_check.py")],
-            env=env, capture_output=True, text=True, timeout=1800)
-    except subprocess.TimeoutExpired:
-        # a wedged TPU relay blocks the chip-grant poll forever; that is
-        # an environment failure, not a kernel regression
-        pytest.skip("TPU unreachable (chip-grant timeout)")
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; jax.devices(); print('TPU_UP')"],
+                env=env, capture_output=True, text=True, timeout=240)
+            if "TPU_UP" not in probe.stdout:
+                pytest.skip("no TPU reachable (probe failed)")
+        except subprocess.TimeoutExpired:
+            pytest.skip("TPU unreachable (device probe timed out)")
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.join(REPO, "scripts",
+                                              "tpu_kernel_check.py")],
+                env=env, capture_output=True, text=True, timeout=1800)
+        except subprocess.TimeoutExpired:
+            # a wedged TPU relay blocks the chip-grant poll forever; that
+            # is an environment failure, not a kernel regression
+            pytest.skip("TPU unreachable (chip-grant timeout)")
+    finally:
+        # release as soon as the on-chip subprocess is done — the rest
+        # of a long suite run must not starve a waiting bench
+        lease.release()
     if r.returncode == 2 or "SKIP" in r.stdout:
         pytest.skip("no TPU reachable")
     assert r.returncode == 0, \

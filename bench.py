@@ -155,6 +155,8 @@ def main_loop():
         f"[bench-loop] {n_timed} frames in {dt:.2f}s, {fps:.1f} fps, "
         f"ATE {ate:.3f} m, seam {seam:.3f} m, closures {len(closures)}, "
         f"replays {eng.n_replays}, keyframes {eng._host.n_keyframes}\n")
+    for e in closures:
+        sys.stderr.write(f"[bench-loop] closure: {e}\n")
     print(json.dumps({
         "metric": "kitti_scale_full_slam_loop_fps",
         "value": round(fps, 2),

@@ -258,16 +258,29 @@ class LoopConfig:
     #                                   re-closing with a weaker
     #                                   measurement only injects noise
     posegraph_iterations: int = 20
-    seam_ba: bool = True              # run one local-BA pass over a
-    #                                   both-sides window (current +
-    #                                   candidate + covisible KFs) right
-    #                                   after each closure — the
-    #                                   reference always runs local BA
-    #                                   on the mapping thread after
-    #                                   CloseLoop (ref src/pipeline.cpp:
-    #                                   137-138); the pose graph alone
-    #                                   corrects chains but never
-    #                                   re-optimizes seam structure
+    seam_ba: bool = False             # run one structure-only local-BA
+    #                                   pass over a both-sides window
+    #                                   (current + candidate + covisible
+    #                                   KFs) right after each closure —
+    #                                   the reference always runs local
+    #                                   BA after CloseLoop (ref
+    #                                   src/pipeline.cpp:137-138) because
+    #                                   its WORLD-FRAME points need
+    #                                   re-optimizing after the rigid
+    #                                   correction. Here landmarks are
+    #                                   anchored inverse-depth to their
+    #                                   ref keyframe ray: the pose-graph
+    #                                   correction moves structure WITH
+    #                                   the keyframes by construction,
+    #                                   and measurements agree the pass
+    #                                   is redundant-to-harmful (bench
+    #                                   clothoid seam 1.647 -> 1.848 m,
+    #                                   ATE 0.944 -> 1.128 m; low-drift
+    #                                   circle 0.73 -> 0.94 m; only the
+    #                                   blind-drift circle improved,
+    #                                   0.28 -> 0.20 m). Default OFF —
+    #                                   available for maps whose drift
+    #                                   profile matches the blind case
     seam_ba_min_corr_m: float = 0.75  # only when the closure moved the
     #                                   current keyframe by at least this
     #                                   much: on an already-consistent
@@ -294,7 +307,7 @@ class LoopConfig:
     info_translation: float = 100.0   # anisotropic odometry-edge info
     info_rotation: float = 100.0
     info_yaw_damp: float = 0.01       # ref wv(5,5)=0.01 (vertical-axis rot)
-    pose_graph_group: str = "se3"     # "se3" | "sim3". "sim3" realizes the
+    pose_graph_group: str = "sim3"    # "sim3" | "se3". "sim3" realizes the
     #                                   reference's own TODO (ref
     #                                   src/loopcloser.cpp:107 "SE3->Sim3"):
     #                                   7-DoF essential-graph correction
@@ -302,8 +315,14 @@ class LoopConfig:
     #                                   drift measured from matched-landmark
     #                                   depth ratios; anchored inverse
     #                                   depths are rescaled with their
-    #                                   keyframes. Stereo fixes scale by
-    #                                   baseline, so "se3" is the default.
+    #                                   keyframes. Default since the r3
+    #                                   on-chip A/B: even on stereo
+    #                                   (baseline-fixed scale) the scale
+    #                                   component absorbs residual drift —
+    #                                   bench clothoid ATE 0.858 vs 0.947 m,
+    #                                   seam 1.382 vs 1.640 m, at equal
+    #                                   speed (346 vs 292 fps run pair).
+    #                                   "se3" remains selectable.
     info_scale: float = 100.0         # sigma-component info (sim3 edges)
     min_scale_pairs: int = 12         # matched depth-ratio pairs required
     #                                   before trusting a loop-scale

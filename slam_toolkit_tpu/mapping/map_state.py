@@ -80,7 +80,13 @@ def empty_map(cfg: SlamConfig) -> MapState:
         kf_quality=jnp.zeros(f),
         mp_ref_kf=jnp.zeros(m, jnp.int32),
         mp_kpt=jnp.zeros(m, jnp.int32),
-        mp_invd=jnp.full((m,), 1e-3),
+        # explicit dtype: jnp.full from a python scalar is WEAK-typed,
+        # and weakness survives every .at[].set update — until the
+        # sim3 closure's `invd * s_ring` produced a STRONG array and
+        # the aval change silently recompiled the whole chunk program
+        # mid-run (~5 s stall through the remote-compile relay,
+        # JAX_LOG_COMPILES diff of BENCH_LOOP_GROUP=sim3)
+        mp_invd=jnp.full((m,), 1e-3, jnp.float32),
         mp_desc=jnp.zeros((m, 8), jnp.uint32),
         mp_valid=jnp.zeros(m, bool),
         mp_obs_count=jnp.zeros(m, jnp.int32),

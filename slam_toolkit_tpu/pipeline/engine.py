@@ -18,6 +18,7 @@ Keyframe path (ref :198-204 producer + AddMappoints :243-262):
 from __future__ import annotations
 
 import functools
+import os
 from typing import List, Optional
 
 import jax
@@ -671,20 +672,15 @@ class SlamEngine:
         self._consume_scores(slot, np.asarray(sc.candidates),
                              np.asarray(sc.scores))
 
-    def _consume_scores(self, slot: int, cand_mask: np.ndarray,
-                        scores: np.ndarray, covis_of: Optional[dict] = None,
-                        frame_id: Optional[int] = None):
-        """Host half of detection: consistency + closure, given the
-        (already read back) candidate mask and score row for one new
-        keyframe. Driven per-KF by _loop_kf_detect and per-chunk (scores
-        precomputed in one batched _bow_register dispatch) by the scan
-        engine, which also pre-fetches covisibility rows for the whole
-        chunk's candidates in one dispatch (covis_of: slot -> (F,) row)
-        and passes the keyframe's own frame_id (self.frame_id already
-        points past the folded chunk there)."""
-        fid = self.frame_id if frame_id is None else frame_id
+    def _detect_accept(self, slot: int, cand_mask: np.ndarray,
+                       scores: np.ndarray, covis_of: Optional[dict],
+                       fid: int) -> list:
+        """Detection half: accScore groups + consistency. Returns the
+        accepted candidate slots, strongest first ([] = nothing to
+        close). Pure host arithmetic apart from the covis fallback
+        dispatch — safe to call without ever blocking on the device."""
         if self.n_keyframes < 3:
-            return
+            return []
         if (self.n_keyframes - self._last_closure_nkf
                 < self.cfg.loop.closure_cooldown_kfs):
             # post-closure cooldown: the seam was just corrected; an
@@ -692,10 +688,10 @@ class SlamEngine:
             # full edge weight (ORB-SLAM2's mLastLoopKFid+10 gate; the
             # reference's unfinished last_loop_kf_)
             self.consistency.update([])
-            return
+            return []
         if not cand_mask.any():
             self.consistency.update([])
-            return
+            return []
         raw_slots = np.flatnonzero(cand_mask)
         nc = len(raw_slots)
         if covis_of is not None and all(int(s) in covis_of
@@ -718,7 +714,7 @@ class SlamEngine:
             self.cfg.loop.acc_score_ratio, self.cfg.loop.acc_group_size)
         if len(cand_slots) == 0:
             self.consistency.update([])
-            return
+            return []
         row_of = {int(c): i for i, c in enumerate(raw_slots)}
         # covisibility group per candidate (candidate + its neighbors)
         groups = []
@@ -729,61 +725,96 @@ class SlamEngine:
             grp.add(int(cs))
             groups.append(grp)
         accepted = self.consistency.update(groups)
+        if os.environ.get("SLAM_LOOP_DEBUG"):
+            # loop-detection decision trace (diagnosis of closure-timing
+            # issues; see scripts/diag_chunked_loop.py)
+            import sys
+            sys.stderr.write(
+                f"[det] fid={fid} slot={slot} raw={raw_slots.tolist()} "
+                f"cands={[int(c) for c in cand_slots]} "
+                f"groups={[sorted(g) for g in groups]} "
+                f"accepted={accepted}\n")
         if not accepted:
-            return
+            return []
         # strongest consistent candidate first (ref picks most matches)
         accepted.sort(key=lambda ci: -scores[cand_slots[ci]])
-        for ci in accepted:
-            cand = int(cand_slots[ci])
-            rel = self._relpose(self.map, jnp.int32(slot), jnp.int32(cand))
-            if not bool(rel.ok):
-                continue
-            n_new = int(rel.n_inliers)
-            # same-seam dedup: if this pair re-measures an already-closed
-            # loop, only a STRONGER measurement may refine it (a weaker
-            # one re-injects noise into a corrected seam — measured
-            # 0.19 -> 0.89 m on the synthetic revisit circle).
-            # Read the WHOLE (F,) id array: indexing the device array
-            # with the python `cand` compiled a one-off gather program
-            # per distinct slot (~0.8 s each through the compile relay)
-            fid_cand = int(np.asarray(self.map.kf_frame_id)[cand])
-            W = self.cfg.loop.closure_dedup_frames
-            if any(abs(fid - fj) <= W and
+        return [int(cand_slots[ci]) for ci in accepted]
+
+    def _closure_is_dup(self, fid: int, fid_cand: int, n_new: int) -> bool:
+        """Same-seam dedup: if this pair re-measures an already-closed
+        loop, only a STRONGER measurement may refine it (a weaker one
+        re-injects noise into a corrected seam — measured 0.19 ->
+        0.89 m on the synthetic revisit circle)."""
+        W = self.cfg.loop.closure_dedup_frames
+        return any(abs(fid - fj) <= W and
                    abs(fid_cand - fi) <= W and n_new <= n_old
-                   for fj, fi, n_old in self._closed_pairs):
-                continue
-            k = self.n_closed % MAX_CLOSED_LOOPS
-            tier = self._close_tier()
-            self._ensure_tier(tier)
+                   for fj, fi, n_old in self._closed_pairs)
+
+    def _dispatch_close(self, slot: int, cand: int, rel, fid: int,
+                        fid_cand: int) -> None:
+        """Closure half, given an accepted+measured relative pose:
+        dispatch the close program (+ optional seam BA), update the
+        rings and bookkeeping. Does NOT block on the device — callers
+        that need the corrected map synchronously read self.map after."""
+        n_new = int(rel.n_inliers)
+        k = self.n_closed % MAX_CLOSED_LOOPS
+        tier = self._close_tier()
+        self._ensure_tier(tier)
+        corr_m = None
+        if self.cfg.loop.seam_ba:
             # closure-correction magnitude at the current keyframe
             # (gates seam BA below): distance between the measured loop
-            # pose's camera center and the pre-closure estimate's
+            # pose's camera center and the pre-closure estimate's.
+            # Synchronous readback — only paid when seam BA is on.
             T_pre = np.asarray(self.map.kf_T_cw)[slot]
             T_meas = np.asarray(rel.T_cw)
             corr_m = float(np.linalg.norm(
                 T_pre[:3, :3].T @ T_pre[:3, 3]
                 - T_meas[:3, :3].T @ T_meas[:3, 3]))
-            (self.map, self.closed_i, self.closed_j, self.closed_T,
-             self.closed_valid, self.closed_w) = self._close(
-                self.map, jnp.int32(slot), jnp.int32(cand), rel.T_cw,
-                self.closed_i, self.closed_j, self.closed_T,
-                self.closed_valid, self.closed_w, jnp.int32(k), rel.scale,
-                rel.n_inliers.astype(jnp.float32), tier)
-            if (self.cfg.loop.seam_ba
-                    and corr_m >= self.cfg.loop.seam_ba_min_corr_m):
-                # re-optimize structure around the just-closed seam
-                # (the reference's always-run post-closure local BA,
-                # ref src/pipeline.cpp:137-138) — but only when the
-                # closure actually moved things (seam_ba_min_corr_m)
-                self.map = self._seam_ba(self.map, jnp.int32(slot),
-                                         jnp.int32(cand))
-            self.n_closed += 1
-            self._last_closure_nkf = self.n_keyframes
-            self._closed_pairs.append((fid, fid_cand, n_new))
-            self.consistency.reset()
-            self.loop_events.append(
-                {"frame": fid, "kf_slot": slot, "cand": cand,
-                 "inliers": int(rel.n_inliers)})
+        (self.map, self.closed_i, self.closed_j, self.closed_T,
+         self.closed_valid, self.closed_w) = self._close(
+            self.map, jnp.int32(slot), jnp.int32(cand), rel.T_cw,
+            self.closed_i, self.closed_j, self.closed_T,
+            self.closed_valid, self.closed_w, jnp.int32(k), rel.scale,
+            rel.n_inliers.astype(jnp.float32), tier)
+        if (self.cfg.loop.seam_ba
+                and corr_m >= self.cfg.loop.seam_ba_min_corr_m):
+            # re-optimize structure around the just-closed seam
+            # (the reference's always-run post-closure local BA,
+            # ref src/pipeline.cpp:137-138) — but only when the
+            # closure actually moved things (seam_ba_min_corr_m)
+            self.map = self._seam_ba(self.map, jnp.int32(slot),
+                                     jnp.int32(cand))
+        self.n_closed += 1
+        self._last_closure_nkf = self.n_keyframes
+        self._closed_pairs.append((fid, fid_cand, n_new))
+        self.consistency.reset()
+        self.loop_events.append(
+            {"frame": fid, "kf_slot": slot, "cand": cand,
+             "inliers": n_new})
+
+    def _consume_scores(self, slot: int, cand_mask: np.ndarray,
+                        scores: np.ndarray, covis_of: Optional[dict] = None,
+                        frame_id: Optional[int] = None):
+        """Host half of detection: consistency + closure, given the
+        (already read back) candidate mask and score row for one new
+        keyframe. Driven per-KF by _loop_kf_detect; the scan engine
+        drives the two halves (_detect_accept / _dispatch_close)
+        separately so the relpose measurement can overlap a chunk of
+        device time instead of blocking the fold."""
+        fid = self.frame_id if frame_id is None else frame_id
+        for cand in self._detect_accept(slot, cand_mask, scores,
+                                        covis_of, fid):
+            rel = self._relpose(self.map, jnp.int32(slot), jnp.int32(cand))
+            if not bool(rel.ok):
+                continue
+            # Read the WHOLE (F,) id array: indexing the device array
+            # with the python `cand` compiled a one-off gather program
+            # per distinct slot (~0.8 s each through the compile relay)
+            fid_cand = int(np.asarray(self.map.kf_frame_id)[cand])
+            if self._closure_is_dup(fid, fid_cand, int(rel.n_inliers)):
+                continue
+            self._dispatch_close(slot, cand, rel, fid, fid_cand)
             break
 
     def _finish_frame(self, T_np: np.ndarray, T_rel_np: np.ndarray,

@@ -16,6 +16,8 @@ like the reference's second thread.
 
 from __future__ import annotations
 
+import os
+import sys
 from typing import List, NamedTuple, Optional
 
 import jax
@@ -275,18 +277,41 @@ class ChunkedSlamEngine:
         # time). Host-side mapping work (loop closure) lags one more
         # chunk — the same staleness the reference's mapping thread has.
         self._pending: List[dict] = []
-        self._queue_depth = 2
+        self._queue_depth = int(os.environ.get("SLAM_QUEUE_DEPTH", "2"))
         # queued loop-score entries, 1:1 with _pending chunks: dispatched
         # with the chunk, consumed when it folds (see _loop_dispatch)
         self._loop_queue: List[dict] = []
         # phase-1 detections awaiting their covis prefetch (consumed one
         # fold later by _loop_phase2)
         self._loop_stash: List[dict] = []
-        self._replay_needed = False                # loop closure hit mid-flight
+        # accepted loop candidates whose relative-pose measurement is in
+        # flight: dispatched at detection time, consumed one fold later
+        # (_finish_pending_closures) — the closure pipeline never blocks
+        # a fold on the relpose/close programs, the same tracking-never-
+        # waits-for-mapping property as the reference's second thread
+        # (ref src/pipeline.cpp:98-141)
+        self._closure_pend: List[dict] = []
+        # host mirror of keyframe frame-ids (slot -> fid), filled at fold
+        # time from the packed rows — closure dedup reads it instead of
+        # syncing kf_frame_id off the newest in-flight chunk
+        self._kf_fid_host = np.full(
+            (self.cfg.map.max_keyframes,), -1, np.int64)
+        # closure-snapshot counts awaiting consumption at the next carry
+        # rebuild (see _finish_pending_closures / _carry)
+        self._pending_counts = None
         self.n_replays = 0                         # closures that landed while
-        #                                            chunks were in flight and
-        #                                            took the drain-and-reseed
-        #                                            path (_drain_after_closure)
+        #                                            chunks were in flight (the
+        #                                            tracking head re-seeded
+        #                                            through its anchor)
+
+        # tracking-head re-seed across a closure: the head pose relative
+        # to the latest keyframe is preserved, the keyframe itself moved
+        @jax.jit
+        def _reseed(T_cw, latest_T_old, latest_T_new):
+            return se3.compose(se3.compose(T_cw, se3.inv(latest_T_old)),
+                               latest_T_new)
+
+        self._reseed_fn = _reseed
         # reuse the classic engine for bootstrap + loop/cull machinery
         from slam_toolkit_tpu.pipeline.engine import SlamEngine
         self._host = SlamEngine(self.cfg, self.cam, vocab=vocab)
@@ -309,6 +334,8 @@ class ChunkedSlamEngine:
         """Pre-compile the rare-path programs (loop closure) so their
         first real firing doesn't stall the timed pipeline."""
         self._host.warmup_loop_programs()
+        eye = jnp.eye(4, dtype=jnp.float32)
+        jax.block_until_ready(self._reseed_fn(eye, eye, eye))
 
     @property
     def loop_events(self):
@@ -316,6 +343,12 @@ class ChunkedSlamEngine:
 
     def _carry(self) -> ChunkCarry:
         h = self._host
+        if self._pending_counts is not None:
+            # a closure's snapshot counts landed (async copy had a fold
+            # of device time): sync the latest-slot mirror so the carry's
+            # latest_slot matches the latest_T it ships with
+            h._latest_slot_host = int(np.asarray(self._pending_counts)[0])
+            self._pending_counts = None
         lm = h._lm
         direct = self.cfg.tracker.method == "direct"
         return ChunkCarry(
@@ -352,6 +385,7 @@ class ChunkedSlamEngine:
             self.trajectory.append(self._host.trajectory[-1])
             self._traj_anchor.append(self._host._traj_anchor[-1])
             self.frame_stats.append(self._host.frame_stats[-1])
+            self._kf_fid_host[self._host._latest_slot_host] = 0
             images = images[1:]
             if len(images) == 0:
                 return np.zeros((0, PACK_WIDTH), np.float32)
@@ -364,39 +398,8 @@ class ChunkedSlamEngine:
         rows, self._owed_rows = self._owed_rows, []
         while len(self._pending) > self._queue_depth:
             rows.append(self._fold_one())
-        if self._replay_needed:
-            rows.extend(self._drain_after_closure())
         return np.concatenate(rows, axis=0) if rows else \
             np.zeros((0, PACK_WIDTH), np.float32)
-
-    def _drain_after_closure(self) -> List[np.ndarray]:
-        """A loop closure landed while chunks were in flight.
-
-        The closure's pose graph already corrected EVERY keyframe in the
-        map — including the ones the in-flight chunks inserted (host
-        mirrors track the newest carry, so the closure saw them). The
-        in-flight packed outputs therefore stay valid relative to their
-        keyframe anchors: fold them (trajectory_refined re-derives global
-        poses from the corrected keyframes) instead of recomputing.
-        What IS stale is the tracking head: re-seed the carry from the
-        corrected map and map the current pose through the correction via
-        its anchor. Tracking lag across a closure is exactly the
-        staleness the reference's two-thread design has
-        (ref src/pipeline.cpp:98-141 mapping thread vs tracking thread).
-        """
-        self._replay_needed = False
-        self.n_replays += 1
-        rows = []
-        while self._pending:
-            rows.append(self._fold_one())
-            self._replay_needed = False      # nested closures drain too
-        h = self._host
-        if self._traj_anchor:
-            slot, rel = self._traj_anchor[-1]
-            h.T_cw = jnp.asarray(
-                rel @ np.asarray(h.map.kf_T_cw[slot]), jnp.float32)
-        self._carry_cache = None             # next dispatch re-seeds
-        return rows
 
     def _dispatch(self, imgs, t0: float) -> None:
         """Run one chunk and re-point every host device-state mirror at
@@ -442,13 +445,13 @@ class ChunkedSlamEngine:
         rows, self._owed_rows = self._owed_rows, []
         while self._pending:
             rows.append(self._fold_one())
-            if self._replay_needed:
-                rows.extend(self._drain_after_closure())
-        if self.vocab is not None and self._loop_stash:
-            # the last chunk's detection is still one fold behind
-            self._loop_phase2()
-            if self._replay_needed:
-                rows.extend(self._drain_after_closure())
+        if self.vocab is not None:
+            if self._loop_stash:
+                # the last chunk's detection is still one fold behind
+                self._loop_phase2()
+            # a relpose dispatched by the final phase2 has no later fold
+            # to land in — finish it now (blocks briefly on its result)
+            self._finish_pending_closures()
         return np.concatenate(rows, axis=0) if rows else \
             np.zeros((0, PACK_WIDTH), np.float32)
 
@@ -479,9 +482,12 @@ class ChunkedSlamEngine:
 
         dt_ms = 1000.0 * (time.perf_counter() - p["t0"]) \
             / max(len(packed_np), 1)
-        for row in packed_np:
+        base_fid = h.frame_id - len(packed_np)
+        for i, row in enumerate(packed_np):
             self.trajectory.append(row[:16].reshape(4, 4))
             self._traj_anchor.append((int(row[32]), row[16:32].reshape(4, 4)))
+            if row[34] > 0.5:
+                self._kf_fid_host[int(row[32])] = base_fid + i
             self.frame_stats.append({"inliers": int(row[35]),
                                      "kf": bool(row[34] > 0.5),
                                      "ok": bool(row[33] > 0.5),
@@ -516,6 +522,9 @@ class ChunkedSlamEngine:
         rows = self.flush()              # mirrors must be fresh to cull
         if len(rows):
             self._owed_rows.append(rows)
+        # the cull path refreshes mirrors directly; stale closure counts
+        # must not overwrite the fresher slot mirror at the next rebuild
+        self._pending_counts = None
         while h._n_kf_valid_host >= cap - n_next - 2:
             kf_T_pre = np.asarray(h.map.kf_T_cw)
             h.map, slot = h._cull(h.map)
@@ -564,7 +573,14 @@ class ChunkedSlamEngine:
         its candidates, and stash the detection for the NEXT fold —
         the covis readback then overlaps a full chunk of device time
         instead of blocking this fold (~30 ms through the relay,
-        scripts/profile_consume.py)."""
+        scripts/profile_consume.py).
+
+        Also dispatches a SPECULATIVE relative pose for each keyframe's
+        top-scoring candidate: if phase 2's consistency check accepts
+        that candidate next fold, its measurement has already overlapped
+        a chunk of device time and the closure lands on the same fold
+        the old synchronous flow closed on — with none of its blocking.
+        A wrong guess costs one wasted rare-event dispatch."""
         h = self._host
         kf_rows = np.flatnonzero(packed_np[:, 34] > 0.5)
         if len(kf_rows) == 0:
@@ -573,6 +589,7 @@ class ChunkedSlamEngine:
         cand_np = np.asarray(entry["sc"].candidates)
         scores_np = np.asarray(entry["sc"].scores)
         covis_dev, cand_all = None, None
+        spec = {}
         if h.n_keyframes >= 3:
             cand_all = np.unique(np.concatenate(
                 [np.flatnonzero(cand_np[r]) for r in kf_rows]))
@@ -585,52 +602,152 @@ class ChunkedSlamEngine:
                     covis_dev.copy_to_host_async()
                 except Exception:       # non-jax arrays in tests
                     pass
+            # speculate ONLY when the consistency tracker is one step
+            # from accepting (a live group at streak >= threshold-1):
+            # the relpose program costs ~50+ ms of DEVICE time, and
+            # speculating on every BoW candidate measurably slowed the
+            # non-closure folds it was meant to protect
+            hot = any(n >= h.consistency.threshold - 1
+                      for _, n in h.consistency.groups)
+            for r, s in zip(kf_rows, slots) if hot else ():
+                mask = cand_np[r]
+                if not mask.any():
+                    continue
+                top = int(np.argmax(np.where(mask, scores_np[r], -1.0)))
+                rel = h._relpose(h.map, jnp.int32(int(s)), jnp.int32(top))
+                try:
+                    jax.tree_util.tree_map(
+                        lambda x: x.copy_to_host_async(), rel)
+                except Exception:       # non-jax arrays in tests
+                    pass
+                spec[int(s)] = (top, rel)
         self._loop_stash.append({
             "kf_rows": kf_rows, "slots": slots, "cand_np": cand_np,
             "scores_np": scores_np, "covis_dev": covis_dev,
-            "cand_all": cand_all,
+            "cand_all": cand_all, "spec": spec,
             "base_fid": h.frame_id - len(packed_np)})
 
     def _loop_phase2(self) -> None:
-        """Consistency + closure for the stashed detection (one fold
-        old): engine._consume_scores per keyframe, covis rows from the
-        phase-1 prefetch."""
+        """Consistency + (pipelined) closure for the stashed detection
+        (one fold old): engine._detect_accept per keyframe with covis
+        rows from the phase-1 prefetch; an accepted candidate's relative
+        pose is DISPATCHED here and consumed one fold later
+        (_finish_pending_closures) so no fold ever blocks on the
+        relpose or close programs — closure latency rides the same
+        mapping-thread staleness as everything else
+        (ref src/pipeline.cpp:98-141)."""
         h = self._host
+        self._finish_pending_closures()
         while self._loop_stash:
             st = self._loop_stash.pop(0)
-            map_before = h.map
             covis_of = None
             if st["covis_dev"] is not None:
                 rows = np.asarray(st["covis_dev"])[:len(st["cand_all"])]
                 covis_of = {int(s): rows[i]
                             for i, s in enumerate(st["cand_all"])}
             for r, s in zip(st["kf_rows"], st["slots"]):
-                h._consume_scores(int(s), st["cand_np"][r],
-                                  st["scores_np"][r], covis_of,
-                                  frame_id=st["base_fid"] + int(r))
-                if h.map is not map_before and covis_of is not None:
-                    # a closure just merged/moved landmarks: the
-                    # prefetched covis rows (pre-merge counts) are stale
-                    # and would silently shape the NEXT keyframe's
-                    # accScore groups — drop them; _consume_scores falls
-                    # back to a fresh batched dispatch (VERDICT r2 weak
-                    # #5). Remaining stashed chunks prefetched from the
-                    # same pre-closure map are stale too.
-                    covis_of = None
-                    for later in self._loop_stash:
-                        later["covis_dev"] = None
-            if h.map is not map_before:
-                # a loop closure moved keyframes/landmarks: resync
-                # mirrors, drop the cached carry, and flag any in-flight
-                # chunk (built on the pre-closure map) for replay. The
-                # refreshed mirror count INCLUDES the in-flight chunks'
-                # keyframes (their carries fed this map), so their folds
-                # must not re-count.
-                h._refresh_kf_mirrors()
-                for p in self._pending:
-                    p["counted"] = True
-                self._carry_cache = None
-                self._replay_needed = True
+                fid = st["base_fid"] + int(r)
+                cands = h._detect_accept(int(s), st["cand_np"][r],
+                                         st["scores_np"][r], covis_of,
+                                         fid)
+                if cands:
+                    # EVERY accepted keyframe queues its candidates —
+                    # two keyframes of one chunk can both accept, and
+                    # only the second may measure ok (observed on the
+                    # bench clothoid: slot 16's attempt failed at 34
+                    # inliers, slot 17's 122-inlier closure was the one
+                    # that mattered); the finisher walks pends in order
+                    # and the post-closure cooldown drops the rest.
+                    # The sync flow tried EVERY accepted candidate in
+                    # score order until one measured ok — missing a
+                    # fallback here silently skips closures. Keep the
+                    # speculative hit first (already a fold old =
+                    # ready), fresh-dispatch the rest as fallbacks
+                    # consumed only if it fails.
+                    spec = st["spec"].get(int(s))
+                    hit = spec is not None and spec[0] == cands[0]
+                    rels = [spec] if hit else []
+                    for cand in cands[0 if not hit else 1:4]:
+                        rel = h._relpose(h.map, jnp.int32(int(s)),
+                                         jnp.int32(cand))
+                        try:
+                            jax.tree_util.tree_map(
+                                lambda x: x.copy_to_host_async(), rel)
+                        except Exception:   # non-jax arrays in tests
+                            pass
+                        rels.append((int(cand), rel))
+                    self._closure_pend.append(
+                        {"slot": int(s), "fid": fid, "rels": rels,
+                         "ready": hit})
+        self._finish_pending_closures(ready_only=True)
+
+    def _finish_pending_closures(self, ready_only: bool = False) -> None:
+        """Consume relative-pose measurements dispatched one fold ago
+        (their results are host-side via the async copy): dedup, close,
+        refresh the device mirrors WITHOUT any readback (a closure moves
+        poses/landmarks but never changes slot validity), and re-seed
+        the tracking head through the latest-keyframe anchor. The old
+        drain-and-replay path folded every in-flight chunk synchronously
+        here (~1.9 s per closure through the relay — the entire gap
+        between loop-mode and headline fps); in-flight chunks now keep
+        folding normally, their packed outputs being anchor-relative.
+
+        ready_only: only consume entries whose measurements have aged a
+        fold (speculative hits are born ready); fresh dispatches are
+        aged for the next call instead of blocking this one."""
+        h = self._host
+        remaining = []
+        while self._closure_pend:
+            pc = self._closure_pend.pop(0)
+            if ready_only and not pc.get("ready", True):
+                pc["ready"] = True
+                remaining.append(pc)
+                continue
+            if (h.n_keyframes - h._last_closure_nkf
+                    < h.cfg.loop.closure_cooldown_kfs):
+                continue        # a closure landed since this detection
+            for cand, rel in pc["rels"]:
+                if os.environ.get("SLAM_LOOP_DEBUG"):
+                    sys.stderr.write(
+                        f"[fin] fid={pc['fid']} slot={pc['slot']} "
+                        f"cand={cand} ok={bool(np.asarray(rel.ok))} "
+                        f"inl={int(rel.n_inliers)}\n")
+                if not bool(np.asarray(rel.ok)):
+                    continue
+                fid_cand = int(self._kf_fid_host[cand])
+                if h._closure_is_dup(pc["fid"], fid_cand,
+                                     int(rel.n_inliers)):
+                    continue
+                latest_T_old = h._latest_kf_T_dev
+                h._dispatch_close(pc["slot"], cand, rel, pc["fid"],
+                                  fid_cand)
+                # mirrors: landmark snapshot + latest-KF pose from the
+                # corrected map — one dispatch. The snapshot's latest
+                # slot INCLUDES in-flight chunks' inserts, while the
+                # folded host mirror lags — rebuilding the carry with
+                # the snapshot's latest_T but the stale mirror slot
+                # mismatched every post-closure frame's packed anchor
+                # (measured: clothoid seam 1.647 -> 2.805 m). Stash the
+                # counts with an async copy; _carry() consumes them at
+                # the rebuild, one fold later, without ever blocking.
+                h._lm, h._latest_kf_T_dev, counts = h._snapshot(h.map)
+                try:
+                    counts.copy_to_host_async()
+                except Exception:       # non-jax arrays in tests
+                    pass
+                self._pending_counts = counts
+                h.T_cw = self._reseed_fn(h.T_cw, latest_T_old,
+                                         h._latest_kf_T_dev)
+                self._carry_cache = None     # next dispatch re-seeds
+                self.n_replays += 1
+                # prefetched covis rows (pre-merge counts) are stale
+                # and would silently shape the NEXT detection's accScore
+                # groups — drop them; _detect_accept falls back to a
+                # fresh batched dispatch (VERDICT r2 weak #5)
+                for later in self._loop_stash:
+                    later["covis_dev"] = None
+                break
+        self._closure_pend = remaining
 
     def trajectory_refined(self) -> List[np.ndarray]:
         self.flush()

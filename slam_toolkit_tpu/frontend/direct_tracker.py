@@ -28,7 +28,7 @@ from slam_toolkit_tpu.optim import direct_lm
 from slam_toolkit_tpu.optim.direct_lm import DirectResult, DirectState
 
 PYRAMID_RATIO = 0.6
-PYRAMID_LEVELS = 3
+PYRAMID_LEVELS = 4
 
 
 def build_direct_pyramid(image: jnp.ndarray,

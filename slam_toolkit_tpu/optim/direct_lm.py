@@ -47,16 +47,64 @@ class DirectResult(NamedTuple):
     res_norm: jnp.ndarray   # (N,) final per-landmark photometric rms
 
 
-def _sample_with_grad(image: jnp.ndarray, uv: jnp.ndarray):
-    """Bilinear intensity + central-difference gradient at uv (..., 2)."""
-    i0 = cam_mod.bilinear_sample(image, uv)
-    dx = jnp.asarray([0.5, 0.0])
-    dy = jnp.asarray([0.0, 0.5])
-    gx = cam_mod.bilinear_sample(image, uv + dx) - \
-        cam_mod.bilinear_sample(image, uv - dx)
-    gy = cam_mod.bilinear_sample(image, uv + dy) - \
-        cam_mod.bilinear_sample(image, uv - dy)
-    return i0, gx, gy
+def _pattern_samples(image: jnp.ndarray, uv: jnp.ndarray):
+    """All 8 pattern intensities + central-difference gradients from ONE
+    8x8 window gather per landmark.
+
+    The previous formulation bilinear-sampled every pattern point and
+    every gradient-stencil shift independently — ~160 random image
+    gathers per landmark per residual call, which XLA lowers to
+    element-at-a-time loops on TPU (the direct-method bench ran at
+    6.8 fps, ~147 ms/frame of device time, dominated by these). The
+    pattern spans +-2 px, bilinear needs +1 and the +-0.5 gradient
+    stencil another half-pixel, so every integer pixel any sample
+    touches lives in [floor(uv)-3, floor(uv)+4]: gather that 8x8 window
+    once (ops/patches.gather_blocks — the same Pallas kernel the
+    extractor's BRIEF patches use) and resample it into shifted 7x7
+    grids (grid(f)[r, c] = bilinear image value at a static integer
+    offset plus the per-landmark fraction f). Pattern intensities index
+    the (fu, fv) grid statically; the +-0.5 gradient pairs sit exactly
+    1 px apart so they SHARE a fractional part (fu+-0.5 mod 1) — one
+    extra grid per axis and a per-landmark 2-way select between static
+    taps reproduces the old bilinear +-0.5 central differences
+    BIT-comparably, with zero dynamic gathers."""
+    from slam_toolkit_tpu.ops.patches import gather_blocks
+    h, w = image.shape
+    u0 = jnp.floor(uv[:, 0])
+    v0 = jnp.floor(uv[:, 1])
+    xs = jnp.clip(u0.astype(jnp.int32) - 3, 0, max(w - 8, 0))
+    ys = jnp.clip(v0.astype(jnp.int32) - 3, 0, max(h - 8, 0))
+    win = gather_blocks(image, ys, xs, 8, 8)             # (N, 8, 8)
+    fu = (uv[:, 0] - u0)[:, None, None]
+    fv = (uv[:, 1] - v0)[:, None, None]
+
+    def grid(fx, fy):
+        return ((1.0 - fy) * (1.0 - fx) * win[:, :-1, :-1] +
+                (1.0 - fy) * fx * win[:, :-1, 1:] +
+                fy * (1.0 - fx) * win[:, 1:, :-1] +
+                fy * fx * win[:, 1:, 1:])                # (N, 7, 7)
+
+    B = grid(fu, fv)
+    fm_u = jnp.where(fu >= 0.5, fu - 0.5, fu + 0.5)
+    fm_v = jnp.where(fv >= 0.5, fv - 0.5, fv + 0.5)
+    Gx = grid(fm_u, fv)
+    Gy = grid(fu, fm_v)
+
+    import numpy as np
+    pat = np.asarray(PATTERN, np.int32)
+    rows, cols = 3 + pat[:, 1], 3 + pat[:, 0]            # static, in [1,5]
+    ival = B[:, rows, cols]                              # (N, 8)
+    # I(p+0.5) - I(p-0.5): positions 1 px apart on the fm grid; which
+    # static tap pair depends only on whether the fraction wrapped
+    hi_u = fu[:, :, 0] >= 0.5                            # (N, 1)
+    hi_v = fv[:, :, 0] >= 0.5
+    gx = jnp.where(hi_u,
+                   Gx[:, rows, cols + 1] - Gx[:, rows, cols],
+                   Gx[:, rows, cols] - Gx[:, rows, cols - 1])
+    gy = jnp.where(hi_v,
+                   Gy[:, rows + 1, cols] - Gy[:, rows, cols],
+                   Gy[:, rows, cols] - Gy[:, rows - 1, cols])
+    return ival, gx, gy
 
 
 def photometric_residuals(state: DirectState, image: jnp.ndarray,
@@ -78,14 +126,7 @@ def photometric_residuals(state: DirectState, image: jnp.ndarray,
            (uv[:, 1] > 3) & (uv[:, 1] < h - 4))
     good = good & inb
 
-    pat = jnp.asarray(PATTERN)                       # (8, 2)
-    pts = uv[:, None, :] + pat[None, :, :]           # (N, 8, 2)
-    n = Xw.shape[0]
-    flat = pts.reshape(-1, 2)
-    ival, gx, gy = _sample_with_grad(image, flat)
-    ival = ival.reshape(n, 8)
-    gx = gx.reshape(n, 8)
-    gy = gy.reshape(n, 8)
+    ival, gx, gy = _pattern_samples(image, uv)       # (N, 8) each
 
     ea = jnp.exp(-state.a)
     r = ea * (ival - state.b) - ref_vals             # (N, 8)
@@ -169,7 +210,5 @@ def reference_values(state: DirectState, image: jnp.ndarray, cam: Camera,
     """Brightness-corrected pattern intensities in the anchor frame."""
     Xc = se3.transform(state.T_cw, Xw)
     uv = cam_mod.project(cam, Xc) * scale
-    pat = jnp.asarray(PATTERN)
-    pts = (uv[:, None, :] + pat[None, :, :]).reshape(-1, 2)
-    vals = cam_mod.bilinear_sample(image, pts).reshape(Xw.shape[0], 8)
+    vals, _, _ = _pattern_samples(image, uv)
     return jnp.exp(-state.a) * (vals - state.b)

@@ -41,6 +41,9 @@ from slam_toolkit_tpu.mapping.map_state import (MapState, camera_frustum,
 
 
 MAX_CLOSED_LOOPS = 16
+# keyframe rows per chunk the batched BoW register/score program
+# processes (see engine._bow_register / scan_engine._loop_phase1)
+BOW_ROWS = 4
 # compact pose-graph problem sizes (see loop/closer.close_loop `tier`)
 _PG_TIERS = (32, 64, 128, 256, 512, 1024)
 
@@ -348,23 +351,47 @@ class SlamEngine:
                 registered (vs strictly-sequential registration); the
                 detector's min_kf_gap temporal gate excludes the batch
                 peers from candidacy anyway, so detection semantics are
-                unchanged."""
+                unchanged.
+
+                Only the chunk's first BOW_ROWS keyframe rows are
+                processed: vmapping the BoW descent + db scoring over
+                all C=16 rows paid the full per-row cost for the
+                typical 1-3 actual keyframes (~19 ms of the loop mode's
+                per-fold overhead). Row selection is top_k on a
+                priority that ranks keyframe rows by position, so the
+                device's row order is EXACTLY the host's ascending
+                kf_rows list (scan_engine._loop_phase1 maps sc rows
+                back by that invariant). A chunk with more than
+                BOW_ROWS keyframes registers/detects only the first
+                BOW_ROWS — bounded staleness on a pathological burst
+                (the decay rule fires ~1 KF per 5 frames in practice)."""
                 slots = packed[:, 32].astype(jnp.int32)
                 slot_valid = packed[:, 34] > 0.5
+                C = packed.shape[0]
+                K = min(BOW_ROWS, C)
+                # priority: keyframe rows first, earliest first; top_k
+                # is order-preserving on ties so non-kf padding rows are
+                # the earliest non-kf rows (their results are dropped)
+                prio = jnp.where(slot_valid,
+                                 C - jnp.arange(C, dtype=jnp.int32),
+                                 jnp.int32(0))
+                vals, rows = jax.lax.top_k(prio, K)
+                sel_slots = slots[rows]
+                sel_valid = vals > 0
 
                 def bv(s):
                     desc = m.kf_desc[s].reshape(-1, 8)
                     return vocab_mod.bow_query(voc, desc,
                                                m.kf_kpt_valid[s],
                                                sparse, top_w)
-                qs = jax.vmap(bv)(slots)            # (C, W) or TopWBow
+                qs = jax.vmap(bv)(sel_slots)        # (K, W) or TopWBow
                 # non-keyframe rows scatter out of bounds -> dropped
                 F = (bow_db.words if sparse else bow_db).shape[0]
-                safe = jnp.where(slot_valid, slots, F)
+                safe = jnp.where(sel_valid, sel_slots, F)
                 db = vocab_mod.db_set(bow_db, safe, qs)
                 sc = jax.vmap(
                     lambda q, s: det_mod.score_query(m, db, q, s, cfg.loop)
-                )(qs, slots)
+                )(qs, sel_slots)
                 return db, sc
 
             @jax.jit

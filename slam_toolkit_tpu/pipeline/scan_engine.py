@@ -581,18 +581,30 @@ class ChunkedSlamEngine:
         a chunk of device time and the closure lands on the same fold
         the old synchronous flow closed on — with none of its blocking.
         A wrong guess costs one wasted rare-event dispatch."""
+        from slam_toolkit_tpu.pipeline.engine import BOW_ROWS
         h = self._host
         kf_rows = np.flatnonzero(packed_np[:, 34] > 0.5)
         if len(kf_rows) == 0:
             return
+        if len(kf_rows) > BOW_ROWS:
+            # the batched register/score program caps at BOW_ROWS
+            # keyframes per chunk (engine._bow_register); a burst beyond
+            # that loses detection (not registration correctness) for
+            # the overflow rows — log it, never silently
+            sys.stderr.write(f"[loop] chunk with {len(kf_rows)} "
+                             f"keyframes; detection capped at "
+                             f"{BOW_ROWS}\n")
+            kf_rows = kf_rows[:BOW_ROWS]
         slots = packed_np[kf_rows, 32].astype(np.int32)
-        cand_np = np.asarray(entry["sc"].candidates)
-        scores_np = np.asarray(entry["sc"].scores)
+        # sc rows are the chunk's keyframe rows in ascending order —
+        # the top_k priority in _bow_register guarantees exactly this
+        cand_np = np.asarray(entry["sc"].candidates)[:len(kf_rows)]
+        scores_np = np.asarray(entry["sc"].scores)[:len(kf_rows)]
         covis_dev, cand_all = None, None
         spec = {}
         if h.n_keyframes >= 3:
             cand_all = np.unique(np.concatenate(
-                [np.flatnonzero(cand_np[r]) for r in kf_rows]))
+                [np.flatnonzero(cand_np[i]) for i in range(len(kf_rows))]))
             if len(cand_all):
                 padn = 8 * ((len(cand_all) + 7) // 8)
                 pad = np.zeros(padn, np.int32)
@@ -609,11 +621,11 @@ class ChunkedSlamEngine:
             # non-closure folds it was meant to protect
             hot = any(n >= h.consistency.threshold - 1
                       for _, n in h.consistency.groups)
-            for r, s in zip(kf_rows, slots) if hot else ():
-                mask = cand_np[r]
+            for i, s in enumerate(slots) if hot else ():
+                mask = cand_np[i]
                 if not mask.any():
                     continue
-                top = int(np.argmax(np.where(mask, scores_np[r], -1.0)))
+                top = int(np.argmax(np.where(mask, scores_np[i], -1.0)))
                 rel = h._relpose(h.map, jnp.int32(int(s)), jnp.int32(top))
                 try:
                     jax.tree_util.tree_map(
@@ -645,10 +657,10 @@ class ChunkedSlamEngine:
                 rows = np.asarray(st["covis_dev"])[:len(st["cand_all"])]
                 covis_of = {int(s): rows[i]
                             for i, s in enumerate(st["cand_all"])}
-            for r, s in zip(st["kf_rows"], st["slots"]):
+            for i, (r, s) in enumerate(zip(st["kf_rows"], st["slots"])):
                 fid = st["base_fid"] + int(r)
-                cands = h._detect_accept(int(s), st["cand_np"][r],
-                                         st["scores_np"][r], covis_of,
+                cands = h._detect_accept(int(s), st["cand_np"][i],
+                                         st["scores_np"][i], covis_of,
                                          fid)
                 if cands:
                     # EVERY accepted keyframe queues its candidates —

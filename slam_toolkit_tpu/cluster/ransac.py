@@ -117,8 +117,9 @@ def euclidean_cluster(X: jnp.ndarray, valid: jnp.ndarray, radius: float,
     X: (N, D) points. Returns (labels (N,) int32 — the component's lowest
     point index, -1 for invalid/small clusters; sizes (N,) per point).
     Replaces FLANN-based EuclideanCluster (ref tracker.cpp:332-392) with
-    `iters` rounds of masked min-propagation (enough for the cluster
-    diameters in this workload).
+    `iters` rounds of masked min-propagation with pointer jumping
+    (label-of-label each sweep), covering components of graph diameter
+    ~2^iters.
     """
     n = X.shape[0]
     d2 = jnp.sum((X[:, None, :] - X[None, :, :]) ** 2, axis=-1)
@@ -127,7 +128,9 @@ def euclidean_cluster(X: jnp.ndarray, valid: jnp.ndarray, radius: float,
 
     def body(_, labels):
         neigh = jnp.where(adj, labels[None, :], n)
-        return jnp.minimum(labels, jnp.min(neigh, axis=1))
+        labels = jnp.minimum(labels, jnp.min(neigh, axis=1))
+        jump = labels[jnp.clip(labels, 0, n - 1)]
+        return jnp.minimum(labels, jnp.where(labels < n, jump, n))
 
     labels = jax.lax.fori_loop(0, iters, body, labels0)
     sizes = jnp.zeros((n + 1,), jnp.int32).at[labels].add(1)[labels]

@@ -82,6 +82,26 @@ class DenseFrame(NamedTuple):
     flow_p95: jnp.ndarray       # ()
 
 
+def _label_propagate(adj: jnp.ndarray, lab0: jnp.ndarray,
+                     P: int, n_iter: int = 16) -> jnp.ndarray:
+    """Connected components by min-label propagation WITH pointer
+    jumping: each sweep takes the neighborhood min, then follows the
+    label-of-label (`lab[lab]`), so n_iter sweeps cover components of
+    graph diameter ~2^n_iter instead of n_iter (r3 advisor: a
+    full-width KITTI ground band on the stride-5 grid needs 60+
+    one-hop sweeps and fragmented into several clusters under the old
+    32-hop loop, each eating one of the 16 cluster slots). Padding /
+    non-member labels are the sentinel P (out of range) and are left
+    untouched."""
+    def body(_, lab):
+        neigh = jnp.where(adj, lab[None, :], P)
+        lab = jnp.minimum(lab, jnp.min(neigh, axis=1))
+        jump = lab[jnp.clip(lab, 0, P - 1)]
+        return jnp.minimum(lab, jnp.where(lab < P, jump, P))
+
+    return jax.lax.fori_loop(0, n_iter, body, lab0)
+
+
 def _sample_grid(h: int, w: int, stride: int, max_points: int):
     ys = np.arange(stride // 2, h, stride)
     xs = np.arange(stride // 2, w, stride)
@@ -250,11 +270,7 @@ def track_clusters(f: DenseFrame, prev_labels: jnp.ndarray,
         & (point_label[:, None] == point_label[None, :])
     comp0 = jnp.where(filt, jnp.arange(P, dtype=jnp.int32), P)
 
-    def body(_, lab):
-        neigh = jnp.where(adj, lab[None, :], P)
-        return jnp.minimum(lab, jnp.min(neigh, axis=1))
-
-    comp = jax.lax.fori_loop(0, 32, body, comp0)
+    comp = _label_propagate(adj, comp0, P)
     near = filt & (f.pts_xyz[:, 2] < cfg.near_z)
     near_count = jnp.zeros((P + 1,), jnp.int32).at[comp].add(
         near.astype(jnp.int32))[comp]
@@ -329,11 +345,7 @@ def ransac_round(f: DenseFrame, residual: jnp.ndarray,
     adj = (d2 <= radius * radius) & step1[:, None] & step1[None, :]
     comp0 = jnp.where(step1, jnp.arange(P, dtype=jnp.int32), P)
 
-    def body(_, lab):
-        neigh = jnp.where(adj, lab[None, :], P)
-        return jnp.minimum(lab, jnp.min(neigh, axis=1))
-
-    comp = jax.lax.fori_loop(0, 32, body, comp0)
+    comp = _label_propagate(adj, comp0, P)
     size = jnp.zeros((P + 1,), jnp.int32).at[comp].add(
         step1.astype(jnp.int32))[comp]
     comp = jnp.where(step1, comp, -1)

@@ -80,7 +80,20 @@ def load(engine: "SlamEngine", path: str) -> "SlamEngine":
             (int(s), r) for s, r in zip(z["anchor_slots"], z["anchor_rel"])]
     if engine.vocab is not None and ("bow_db" in z.files
                                      or "bow_db_words" in z.files):
-        if "bow_db_words" in z.files:
+        # the stored representation must match the engine's configured
+        # backend: a topw db with a dense query (or vice versa) fails
+        # deep inside the jitted score program with an opaque attribute
+        # or broadcast error (r3 advisor) — fail fast and name the
+        # mismatch instead
+        ckpt_sparse = "bow_db_words" in z.files
+        if ckpt_sparse != bool(getattr(engine, "_bow_sparse", False)):
+            raise ValueError(
+                f"checkpoint BoW backend mismatch: checkpoint is "
+                f"{'topw-sparse' if ckpt_sparse else 'dense'} but the "
+                f"engine is configured "
+                f"{'topw-sparse' if engine._bow_sparse else 'dense'} "
+                f"(cfg.loop.bow_mode) — load with a matching config")
+        if ckpt_sparse:
             from slam_toolkit_tpu.loop.vocab import TopWBow
             engine.bow_db = TopWBow(
                 words=jnp.asarray(z["bow_db_words"]),

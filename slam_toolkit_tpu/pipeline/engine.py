@@ -362,9 +362,13 @@ class SlamEngine:
                 device's row order is EXACTLY the host's ascending
                 kf_rows list (scan_engine._loop_phase1 maps sc rows
                 back by that invariant). A chunk with more than
-                BOW_ROWS keyframes registers/detects only the first
-                BOW_ROWS — bounded staleness on a pathological burst
-                (the decay rule fires ~1 KF per 5 frames in practice)."""
+                BOW_ROWS keyframes DETECTS only the first BOW_ROWS —
+                bounded staleness on a pathological burst (the decay
+                rule fires ~1 KF per 5 frames in practice) — but the
+                overflow rows are still REGISTERED via
+                _bow_register_only (dispatched host-side at fold time;
+                see that program's docstring for why a zero dense row
+                is poison)."""
                 slots = packed[:, 32].astype(jnp.int32)
                 slot_valid = packed[:, 34] > 0.5
                 C = packed.shape[0]
@@ -394,6 +398,32 @@ class SlamEngine:
                 )(qs, sel_slots)
                 return db, sc
 
+            @functools.partial(jax.jit, donate_argnums=1)
+            def _bow_register_only(m, bow_db, slots, valid):
+                """Registration-only pass for keyframe rows beyond the
+                first BOW_ROWS of a chunk (rare overflow path; host
+                dispatches it from scan_engine._loop_phase1 when the
+                packed readback shows >BOW_ROWS keyframes). Without it
+                the cap left overflow keyframes with all-zero DENSE BoW
+                rows forever — a zero row scores 1 - 0.5*|q|_1 = 0.5
+                against every L1-normalized query, far above
+                min_score_floor, so the unregistered keyframe became a
+                persistent false loop/reloc candidate whose inflated
+                accScore group could suppress genuine candidates (r3
+                advisor, medium). Detection for overflow rows is still
+                skipped (bounded staleness, logged); registration is
+                not. The common path (<=BOW_ROWS keyframes/chunk) never
+                dispatches this."""
+                def bv(s):
+                    desc = m.kf_desc[s].reshape(-1, 8)
+                    return vocab_mod.bow_query(voc, desc,
+                                               m.kf_kpt_valid[s],
+                                               sparse, top_w)
+                qs = jax.vmap(bv)(slots)
+                F = (bow_db.words if sparse else bow_db).shape[0]
+                safe = jnp.where(valid, slots, F)
+                return vocab_mod.db_set(bow_db, safe, qs)
+
             @jax.jit
             def _seam_ba(m, cur, cand):
                 from slam_toolkit_tpu.mapping.ba_adapter import seam_ba_step
@@ -402,6 +432,7 @@ class SlamEngine:
             self._bow, self._loop_score, self._covis = _bow, _loop_score, _covis
             self._relpose, self._close = _relpose, _close
             self._bow_register = _bow_register
+            self._bow_register_only = _bow_register_only
             self._seam_ba = _seam_ba
 
     # ----- driver -----------------------------------------------------------

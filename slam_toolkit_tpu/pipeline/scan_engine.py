@@ -356,7 +356,14 @@ class ChunkedSlamEngine:
             lm_Xw=lm[0], lm_desc=lm[1], lm_ids=lm[2], lm_valid=lm[3],
             latest_slot=jnp.int32(h._latest_slot_host),
             latest_T=h._latest_kf_T_dev,
-            frame_id=jnp.int32(h.frame_id),
+            # h.frame_id advances at FOLD time; a carry rebuilt while
+            # chunks are still in flight (pipelined closure) must seed
+            # the device counter past their frames or keyframes of the
+            # next chunk get duplicate/backdated frame ids, skewing the
+            # min_kf_gap insertion gate and cull-grace arithmetic (r3
+            # advisor, medium)
+            frame_id=jnp.int32(h.frame_id
+                               + sum(p["n"] for p in self._pending)),
             # conservative reset on carry rebuilds (bootstrap / loop
             # closure / cull): only delays the next decay-rule keyframe
             inlier_peak=jnp.float32(0.0),
@@ -587,13 +594,27 @@ class ChunkedSlamEngine:
         if len(kf_rows) == 0:
             return
         if len(kf_rows) > BOW_ROWS:
-            # the batched register/score program caps at BOW_ROWS
-            # keyframes per chunk (engine._bow_register); a burst beyond
-            # that loses detection (not registration correctness) for
-            # the overflow rows — log it, never silently
+            # the batched register/score program caps DETECTION at
+            # BOW_ROWS keyframes per chunk (engine._bow_register) —
+            # bounded staleness, logged. REGISTRATION must still cover
+            # every keyframe: an unregistered dense BoW row is all-zero
+            # and scores 0.5 against every normalized query, making the
+            # keyframe a persistent false loop/reloc candidate (r3
+            # advisor, medium). Register the overflow rows now in
+            # fixed-shape BOW_ROWS batches (rare path; no recompiles).
+            extra = packed_np[kf_rows[BOW_ROWS:], 32].astype(np.int32)
+            for j in range(0, len(extra), BOW_ROWS):
+                batch = extra[j:j + BOW_ROWS]
+                pad = np.zeros(BOW_ROWS, np.int32)
+                pad[:len(batch)] = batch
+                vmask = np.zeros(BOW_ROWS, bool)
+                vmask[:len(batch)] = True
+                h.bow_db = h._bow_register_only(
+                    h.map, h.bow_db, jnp.asarray(pad),
+                    jnp.asarray(vmask))
             sys.stderr.write(f"[loop] chunk with {len(kf_rows)} "
                              f"keyframes; detection capped at "
-                             f"{BOW_ROWS}\n")
+                             f"{BOW_ROWS} (overflow rows registered)\n")
             kf_rows = kf_rows[:BOW_ROWS]
         slots = packed_np[kf_rows, 32].astype(np.int32)
         # sc rows are the chunk's keyframe rows in ascending order —

@@ -28,8 +28,9 @@ LOCK_PATH = "/tmp/slam_tpu_chip.lock"
 class ChipLease:
     """Advisory exclusive lease on the (single) TPU chip."""
 
-    def __init__(self, path: str = LOCK_PATH):
+    def __init__(self, path: str = LOCK_PATH, timeout_s: float = 900.0):
         self.path = path
+        self.timeout_s = timeout_s    # bound used by the context manager
         self._fd: int | None = None
 
     def try_acquire(self) -> bool:
@@ -77,7 +78,15 @@ class ChipLease:
                 self._fd = None
 
     def __enter__(self) -> "ChipLease":
-        self.try_acquire()
+        # `with ChipLease():` must never silently proceed WITHOUT the
+        # lease — that is exactly the silent-queueing failure mode this
+        # module exists to prevent (r3 advisor). Block with the default
+        # bound, then fail loudly; callers wanting non-blocking or
+        # proceed-anyway semantics use try_acquire()/acquire() directly.
+        if not self.acquire(timeout_s=self.timeout_s):
+            raise TimeoutError(
+                f"TPU chip lease not acquired (held by {self.holder()}); "
+                "use try_acquire() for non-blocking semantics")
         return self
 
     def __exit__(self, *exc) -> None:

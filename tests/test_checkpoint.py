@@ -71,3 +71,33 @@ def test_loop_state_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(eng2.closed_w)[0], 0.62)
     np.testing.assert_allclose(np.asarray(eng2.bow_db),
                                np.asarray(eng.bow_db))
+
+
+def test_bow_backend_mismatch_fails_fast(tmp_path):
+    """A checkpoint saved with one BoW backend loaded into an engine
+    configured with the other must raise a clear error, not fail deep
+    inside the jitted score program (r3 advisor)."""
+    import dataclasses
+
+    import pytest
+
+    from slam_toolkit_tpu.loop import vocab as V
+
+    cfg = SlamConfig.tiny()
+    _, gt, frames = make_sequence(cfg, n_frames=4, seed=3, step=0.2)
+    rng = np.random.default_rng(0)
+    voc = V.train(rng.integers(0, 2 ** 32, (256, 8), dtype=np.uint32),
+                  k=4, levels=2, seed=0)
+    eng = SlamEngine(cfg, vocab=voc)
+    for left, right in frames[:2]:
+        eng.process(left, right)
+    assert not eng._bow_sparse      # tiny vocab -> dense backend
+    path = str(tmp_path / "state.npz")
+    checkpoint.save(eng, path)
+
+    cfg_topw = dataclasses.replace(
+        cfg, loop=dataclasses.replace(cfg.loop, bow_mode="topw"))
+    eng2 = SlamEngine(cfg_topw, vocab=voc)
+    assert eng2._bow_sparse
+    with pytest.raises(ValueError, match="backend mismatch"):
+        checkpoint.load(eng2, path)

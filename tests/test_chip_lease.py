@@ -56,3 +56,21 @@ def test_acquire_timeout(tmp_path):
     lease.release()
     assert other.acquire(timeout_s=1.0, poll_s=0.05)
     other.release()
+
+
+def test_context_manager_raises_when_held(tmp_path):
+    """`with ChipLease():` must never silently proceed without the
+    lease — it blocks up to timeout_s then raises (r3 advisor)."""
+    import pytest
+
+    path = str(tmp_path / "chip.lock")
+    holder = ChipLease(path)
+    assert holder.try_acquire()
+    with pytest.raises(TimeoutError, match="lease not acquired"):
+        with ChipLease(path, timeout_s=0.2):
+            pass
+    holder.release()
+    with ChipLease(path, timeout_s=1.0) as lease:
+        assert "pid=" in lease.holder()
+    # released on exit
+    assert ChipLease(path).try_acquire()

@@ -31,3 +31,63 @@ def test_chunked_creates_keyframes(run_chunked):
     assert int(eng.map.mp_valid.sum()) > 50
     kf_frames = [s for s in eng.frame_stats if s["kf"]]
     assert len(kf_frames) >= 1
+
+
+def test_carry_frame_id_includes_inflight():
+    """A carry rebuilt while chunks are in flight (the pipelined-closure
+    path sets _carry_cache=None without draining) must seed the device
+    frame counter past the pending chunks' frames — h.frame_id only
+    advances at fold time (r3 advisor, medium)."""
+    cfg = SlamConfig.tiny()
+    world, gt, frames = make_sequence(cfg, n_frames=12, seed=3, step=0.25)
+    eng = ChunkedSlamEngine(cfg, chunk_size=4)
+    imgs = np.stack([np.stack([l, r]) for l, r in frames])
+    eng.process_chunk(imgs[1:5])     # frame 0 consumed by bootstrap
+    eng.process_chunk(imgs[5:9])     # queue_depth 2: both still pending
+    pend = sum(p["n"] for p in eng._pending)
+    assert pend > 0, "test needs in-flight chunks"
+    eng._carry_cache = None          # what a mid-flight closure does
+    c = eng._carry()
+    assert int(c.frame_id) == eng._host.frame_id + pend
+    eng.flush()
+
+
+def test_bow_overflow_rows_still_registered():
+    """A chunk with more than BOW_ROWS keyframes caps DETECTION only:
+    every keyframe row must still be REGISTERED in the BoW database —
+    an unregistered dense row is all-zero and scores 0.5 against every
+    normalized query, a persistent false loop candidate (r3 advisor,
+    medium)."""
+    import jax.numpy as jnp
+    from slam_toolkit_tpu.loop import vocab as V
+    from slam_toolkit_tpu.pipeline.engine import BOW_ROWS
+    from slam_toolkit_tpu.pipeline.scan_engine import PACK_WIDTH
+
+    cfg = SlamConfig.tiny()
+    rng = np.random.default_rng(0)
+    desc = rng.integers(0, 2 ** 32, (512, 8), dtype=np.uint32)
+    voc = V.train(desc, k=4, levels=2, seed=0)
+    world, gt, frames = make_sequence(cfg, n_frames=40, seed=3, step=0.3)
+    eng = ChunkedSlamEngine(cfg, chunk_size=4, vocab=voc)
+    eng.run(frames)
+    h = eng._host
+    assert not h._bow_sparse, "test assumes the dense backend"
+    kf_slots = np.flatnonzero(np.asarray(h.map.kf_valid))
+    need = BOW_ROWS + 2
+    assert len(kf_slots) >= need, \
+        f"sequence produced only {len(kf_slots)} keyframes"
+    # wipe the db, then present ONE crafted chunk claiming `need`
+    # keyframe rows — more than the BOW_ROWS detection cap
+    h.bow_db = jnp.zeros_like(h.bow_db)
+    packed_np = np.zeros((8, PACK_WIDTH), np.float32)
+    packed_np[:, 16:32] = np.eye(4, dtype=np.float32).reshape(-1)
+    for i, s in enumerate(kf_slots[:need]):
+        packed_np[i, 32] = s
+        packed_np[i, 34] = 1.0
+    eng._loop_dispatch(h.map, jnp.asarray(packed_np))
+    entry = eng._loop_queue.pop()
+    eng._loop_phase1(entry, packed_np)
+    db = np.asarray(h.bow_db)
+    for s in kf_slots[:need]:
+        assert np.abs(db[s]).sum() > 0, \
+            f"keyframe slot {s} left unregistered (all-zero BoW row)"

@@ -165,6 +165,95 @@ def main_loop():
     }))
 
 
+def main_cluster():
+    """BENCH_CLUSTER=1: the dense motion-clustering workload (the
+    reference's ONLY GPU-accelerated component — cv::cuda::StereoBM +
+    FarnebackOpticalFlow + per-cluster solvePnPRansac, ref
+    examples/epip_cluster/src/tracker.cpp:54-57,700-713) at KITTI
+    resolution (1241x376, stride-5 grid = 18.6k samples) with temporal
+    cluster tracking active. Runs the fused single-program tracker
+    (cluster/tracker.py fused_step) pipelined at queue depth 2 over a
+    synthetic scene of a laterally-translating camera through a
+    depth-banded world plus 3 independent movers; reports fps and
+    asserts the movers carry PERSISTENT cluster ids (the reference's
+    TrackCluster property) with per-mover rigid motions."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    from slam_toolkit_tpu.cluster.tracker import (DenseConfig,
+                                                  FusedDenseTracker)
+    from slam_toolkit_tpu.data.synthetic import make_cluster_scene
+
+    n = int(os.environ.get("BENCH_FRAMES", "60"))
+    warm = 5
+    scene = make_cluster_scene(n_frames=n)
+    cfg = DenseConfig(max_points=18688)
+    t0 = time.perf_counter()
+    tr = FusedDenseTracker(scene.cam, cfg, queue_depth=2)
+    outs = []
+    t_start = None
+    for i, (gl, gr) in enumerate(scene.frames):
+        o = tr.process(gl, gr)
+        if o is not None:
+            outs.append(o)
+        if i == 1:
+            sys.stderr.write(f"[bench] cluster warmup (compile) "
+                             f"{time.perf_counter() - t0:.0f}s\n")
+        if i == warm - 1:
+            t_start = time.perf_counter()
+    outs += tr.flush()
+    wall = time.perf_counter() - t_start
+    fps = (n - warm) / wall
+
+    # ---- quality: mover id persistence + distinctness ----------------
+    # majority label of the samples inside each GT mover box, per frame
+    # (outs[k] is frame k+1: frame 0 seeds the tracker)
+    uv = None
+    from slam_toolkit_tpu.cluster.tracker import _sample_grid
+    grid, _, _ = _sample_grid(376, 1241, cfg.sample_stride,
+                              cfg.max_points)
+    uv = grid.astype(np.float32)
+
+    def box_major(out, box):
+        x, y, s, _ = box
+        m = ((uv[:, 0] >= x + 10) & (uv[:, 0] < x + s - 10)
+             & (uv[:, 1] >= y + 10) & (uv[:, 1] < y + s - 10))
+        labs = out["labels"][:len(m)][m]
+        labs = labs[labs >= 0]
+        if labs.size == 0:
+            return -1
+        vals, cnts = np.unique(labs, return_counts=True)
+        return int(vals[np.argmax(cnts)])
+
+    live = [(k + 1, o) for k, o in enumerate(outs) if not o["skipped"]]
+    tail = [e for e in live if e[0] >= n - 20]
+    mover_ids = {j: [] for j in range(3)}
+    for fidx, o in tail:
+        for j, box in enumerate(scene.mover_boxes[fidx][:3]):
+            mover_ids[j].append(box_major(o, box))
+    persist = all(len(set(v)) == 1 and v[0] >= 0
+                  for v in mover_ids.values() if v)
+    distinct = len({v[0] for v in mover_ids.values() if v}) == \
+        len([v for v in mover_ids.values() if v])
+    alive = int((live[-1][1]["sizes"] > 0).sum())
+    sys.stderr.write(
+        f"[bench] cluster: {fps:.1f} fps, {len(live)}/{n} live frames, "
+        f"{alive} clusters alive, mover ids "
+        f"{[v[0] if v else None for v in mover_ids.values()]} "
+        f"persist={persist} distinct={distinct}\n")
+    if not (persist and distinct):
+        sys.stderr.write("[bench] FAIL: mover tracking unstable\n")
+        sys.exit(1)
+    print(json.dumps({
+        "metric": "kitti_scale_dense_cluster_fps",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / 10.0, 4),
+    }))
+
+
 def _stage_frames(cfg, n_frames):
     """Render-or-mmap the straight synthetic sequence shared by main()
     and main_dp(): returns ((N, 2, H, W) uint8, gt list). Rendering
@@ -481,5 +570,7 @@ if __name__ == "__main__":
         main_loop()
     elif os.environ.get("BENCH_DP"):
         main_dp()
+    elif os.environ.get("BENCH_CLUSTER"):
+        main_cluster()
     else:
         main()

@@ -18,6 +18,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from slam_toolkit_tpu.ops.pyramid import resize_bilinear
 
@@ -43,22 +44,19 @@ def _poly_basis(n: int, sigma: float):
 
 def _sep_correlate(img: jnp.ndarray, kx: jnp.ndarray,
                    ky: jnp.ndarray) -> jnp.ndarray:
-    """Separable correlation with edge padding."""
-    n = kx.shape[0] // 2
-    pad = jnp.pad(img, ((n, n), (n, n)), mode='edge')[None, None]
-    out = jax.lax.conv_general_dilated(
-        pad, ky.reshape(1, 1, -1, 1), (1, 1), 'VALID')
-    out = jax.lax.conv_general_dilated(
-        out, kx.reshape(1, 1, 1, -1), (1, 1), 'VALID')
-    return out[0, 0]
+    """Separable correlation with edge padding, as two banded MXU
+    matmuls (ops/sepconv.py — 1-channel `lax.conv` cannot tile onto
+    the MXU; the matmul form cut the KITTI-scale flow pass ~10x)."""
+    from slam_toolkit_tpu.ops.sepconv import sep_correlate2d
+    return sep_correlate2d(img, np.asarray(kx), np.asarray(ky))
 
 
 def poly_expand(img: jnp.ndarray, n: int = 5,
                 sigma: float = 1.1) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Per-pixel quadratic coefficients (A (H,W,2,2), b (H,W,2))."""
     wt, xt, ginv_t = _poly_basis(n, sigma)
-    w = jnp.asarray(wt, jnp.float32)
-    x = jnp.asarray(xt, jnp.float32)
+    w = np.asarray(wt, np.float32)         # numpy: sepconv caches the
+    x = np.asarray(xt, np.float32)         # banded matrices per taps
     Ginv = jnp.asarray(ginv_t, jnp.float32)
 
     wx = w * x
@@ -82,14 +80,49 @@ def poly_expand(img: jnp.ndarray, n: int = 5,
     return A, b
 
 
-def _warp(img: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
-    """Backward-warp img by flow (H, W, 2) with bilinear sampling."""
+def _warp(img: jnp.ndarray, flow: jnp.ndarray,
+          rx: int = 48, ry: int = 16) -> jnp.ndarray:
+    """Backward-warp img by flow (H, W, 2), bilinear, gather-free.
+
+    A per-pixel gather of 467k bilinear taps cost ~17 ms of device time
+    per warp at KITTI scale (XLA lowers arbitrary 2-D gathers to a slow
+    path) — and the pyramid schedule warps ~10x per flow field. Instead:
+    two separable shift-and-select passes over the BOUNDED flow range
+    (|fx|<rx, |fy|<ry, flow clipped): for each integer offset k the
+    contribution is a static slice of the edge-padded image times a
+    selection weight, a pure VPU stream the compiler pipelines (~1 ms).
+    Separability evaluates fx at the unshifted row — a ~|fy * d(fx)/dy|
+    subpixel approximation, negligible for box-smoothed flow fields.
+    """
     h, w = img.shape
-    ys = jnp.arange(h, dtype=jnp.float32)[:, None] + flow[..., 1]
-    xs = jnp.arange(w, dtype=jnp.float32)[None, :] + flow[..., 0]
-    from slam_toolkit_tpu.geometry.camera import bilinear_sample
-    uv = jnp.stack([xs, ys], axis=-1)
-    return bilinear_sample(img, uv.reshape(-1, 2)).reshape(h, w)
+    fx = jnp.clip(flow[..., 0], -rx + 1e-3, rx - 1e-3)
+    fy = jnp.clip(flow[..., 1], -ry + 1e-3, ry - 1e-3)
+
+    x0 = jnp.floor(fx)
+    frx = fx - x0
+    padx = jnp.pad(img, ((0, 0), (rx, rx + 2)), mode='edge')
+
+    def bx(i, acc):
+        k = i - rx
+        sl = jax.lax.dynamic_slice(padx, (0, i), (h, w))
+        wk = jnp.where(x0 == k, 1.0 - frx, 0.0) \
+            + jnp.where(x0 == k - 1, frx, 0.0)
+        return acc + sl * wk
+
+    acc = jax.lax.fori_loop(0, 2 * rx + 2, bx, jnp.zeros_like(img))
+
+    y0 = jnp.floor(fy)
+    fry = fy - y0
+    pady = jnp.pad(acc, ((ry, ry + 2), (0, 0)), mode='edge')
+
+    def by(i, out):
+        k = i - ry
+        sl = jax.lax.dynamic_slice(pady, (i, 0), (h, w))
+        wk = jnp.where(y0 == k, 1.0 - fry, 0.0) \
+            + jnp.where(y0 == k - 1, fry, 0.0)
+        return out + sl * wk
+
+    return jax.lax.fori_loop(0, 2 * ry + 2, by, jnp.zeros_like(img))
 
 
 def _flow_update(A0, b0, A1w, b1w, flow, win: int = 13) -> jnp.ndarray:
@@ -101,15 +134,10 @@ def _flow_update(A0, b0, A1w, b1w, flow, win: int = 13) -> jnp.ndarray:
     G = jnp.einsum('hwji,hwjk->hwik', A, A).reshape(*A.shape[:2], 4)
     hvec = jnp.einsum('hwji,hwj->hwi', A, db)
     stack = jnp.concatenate([G, hvec], axis=-1)           # (H, W, 6)
-    k = jnp.ones((win,), jnp.float32) / win
-    n = win // 2
-    pad = jnp.pad(stack, ((n, n), (n, n), (0, 0)), mode='edge')
-    pad = pad.transpose(2, 0, 1)[:, None]
-    out = jax.lax.conv_general_dilated(pad, k.reshape(1, 1, -1, 1),
-                                       (1, 1), 'VALID')
-    out = jax.lax.conv_general_dilated(out, k.reshape(1, 1, 1, -1),
-                                       (1, 1), 'VALID')
-    out = out[:, 0].transpose(1, 2, 0)
+    from slam_toolkit_tpu.ops.sepconv import sep_correlate2d
+    k = np.full((win,), 1.0 / win, np.float32)
+    out = sep_correlate2d(stack.transpose(2, 0, 1), k, k)
+    out = out.transpose(1, 2, 0)
     g11, g12, g21, g22 = out[..., 0], out[..., 1], out[..., 2], out[..., 3]
     h1, h2 = out[..., 4], out[..., 5]
     det = g11 * g22 - g12 * g21

@@ -16,22 +16,20 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def _box_filter(x: jnp.ndarray, size: int) -> jnp.ndarray:
-    """Separable box filter over the last two axes (same padding)."""
-    k = jnp.ones((size,), x.dtype) / size
-    pad = size // 2
-    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 2) + [(pad, pad), (pad, pad)],
-                 mode='edge')
-    # rows
-    shape = xp.shape
-    flat = xp.reshape((-1, 1, shape[-2], shape[-1]))
-    kh = k.reshape(1, 1, size, 1)
-    kw = k.reshape(1, 1, 1, size)
-    out = jax.lax.conv_general_dilated(flat, kh, (1, 1), 'VALID')
-    out = jax.lax.conv_general_dilated(out, kw, (1, 1), 'VALID')
-    return out.reshape(x.shape[:-2] + out.shape[-2:])
+    """Separable box filter over the last two axes (same padding), as
+    two banded MXU matmuls (ops/sepconv.py). The previous
+    `lax.conv_general_dilated` with one input channel could not tile
+    onto the MXU and ran the (D, H, W) cost volume through the VPU tap
+    by tap — the box filter alone was ~100 ms of the 140 ms KITTI-scale
+    disparity pass; the matmul form is ~10x faster despite doing N/k
+    times more FLOPs."""
+    from slam_toolkit_tpu.ops.sepconv import sep_correlate2d
+    taps = np.full((size,), 1.0 / size, np.float32)
+    return sep_correlate2d(x, taps, taps)
 
 
 def disparity(left: jnp.ndarray, right: jnp.ndarray,
@@ -54,23 +52,30 @@ def disparity(left: jnp.ndarray, right: jnp.ndarray,
     diffs = jnp.stack([cost_at(d) for d in range(num_disparities)], axis=0)
     cost = _box_filter(diffs, block_size)
 
+    # Winner-take-all WITHOUT gathers: per-pixel indexing into the
+    # (D, H, W) volume (`cost[best, rows, cols]`) and jnp.partition for
+    # the second-best each lowered to slow scatter/sort paths on TPU —
+    # WTA alone was ~50 ms of device time at KITTI scale, more than the
+    # whole cost volume. Everything below is masked min/sum reductions
+    # over the D axis that XLA fuses into single passes over the volume.
     best = jnp.argmin(cost, axis=0)                       # (H, W)
-    rows = jnp.arange(h)[:, None]
-    cols = jnp.arange(w)[None, :]
-    c_best = cost[best, rows, cols]
-    # uniqueness: the best must beat the global mean meaningfully
-    c_second = jnp.partition(cost, 1, axis=0)[1]
+    c_best = jnp.min(cost, axis=0)
+    didx = jnp.arange(num_disparities)[:, None, None]
+    # uniqueness: best must beat the runner-up meaningfully
+    c_second = jnp.min(jnp.where(didx == best[None], jnp.inf, cost),
+                       axis=0)
     unique = c_best <= uniqueness * c_second + 1e-3
 
-    # subpixel parabola around the winner
+    # subpixel parabola around the winner (one-hot masked sums)
     bc = jnp.clip(best, 1, num_disparities - 2)
-    c0 = cost[bc - 1, rows, cols]
-    c1 = cost[bc, rows, cols]
-    c2 = cost[bc + 1, rows, cols]
+    c0 = jnp.sum(jnp.where(didx == bc[None] - 1, cost, 0.0), axis=0)
+    c1 = jnp.sum(jnp.where(didx == bc[None], cost, 0.0), axis=0)
+    c2 = jnp.sum(jnp.where(didx == bc[None] + 1, cost, 0.0), axis=0)
     denom = jnp.maximum(c0 + c2 - 2.0 * c1, 1e-6)
     delta = jnp.clip(0.5 * (c0 - c2) / denom, -1.0, 1.0)
     disp = bc.astype(jnp.float32) + delta
 
+    cols = jnp.arange(w)[None, :]
     valid = unique & (best > 0) & (best < num_disparities - 1) & \
         (cols >= num_disparities)
     return jnp.where(valid, disp, 0.0)
@@ -84,19 +89,17 @@ def sobel_edge_mask(image: jnp.ndarray, threshold: float = 50.0,
     (ref examples/epip_cluster/src/tracker.cpp:76-87); dilation plays the
     role of the distance-transform band.
     """
-    img = image.astype(jnp.float32)[None, None]
-    kx = jnp.asarray([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]],
-                     jnp.float32).reshape(1, 1, 3, 3)
-    ky = jnp.asarray([[-1, -2, -1], [0, 0, 0], [1, 2, 1]],
-                     jnp.float32).reshape(1, 1, 3, 3)
-    pad = jnp.pad(img, ((0, 0), (0, 0), (1, 1), (1, 1)), mode='edge')
-    gx = jax.lax.conv_general_dilated(pad, kx, (1, 1), 'VALID')[0, 0]
-    gy = jax.lax.conv_general_dilated(pad, ky, (1, 1), 'VALID')[0, 0]
+    from slam_toolkit_tpu.ops.sepconv import sep_correlate2d
+    img = image.astype(jnp.float32)
+    # Sobel is separable: gx = [1,2,1]^T x [-1,0,1], gy transposed —
+    # two banded-matmul passes each (ops/sepconv.py), not 1-channel convs
+    gx = sep_correlate2d(img, np.asarray([-1, 0, 1], np.float32),
+                         np.asarray([1, 2, 1], np.float32))
+    gy = sep_correlate2d(img, np.asarray([1, 2, 1], np.float32),
+                         np.asarray([-1, 0, 1], np.float32))
     mag = jnp.sqrt(gx * gx + gy * gy)
     mask = mag > threshold
     if dilate > 0:
-        m = mask.astype(jnp.float32)[None, None]
-        kd = jnp.ones((1, 1, 2 * dilate + 1, 2 * dilate + 1), jnp.float32)
-        mp = jnp.pad(m, ((0, 0), (0, 0), (dilate, dilate), (dilate, dilate)))
-        mask = jax.lax.conv_general_dilated(mp, kd, (1, 1), 'VALID')[0, 0] > 0
+        k = np.ones((2 * dilate + 1,), np.float32)
+        mask = sep_correlate2d(mask.astype(jnp.float32), k, k) > 0.5
     return mask

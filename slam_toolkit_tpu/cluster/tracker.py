@@ -68,6 +68,7 @@ class DenseConfig(NamedTuple):
     near_z: float = 50.0               # "near" depth for drift splits [m] (ref :481)
     min_near_points: int = 20          # sub-cluster survival count (ref :495)
     max_ransac_rounds: int = 6         # bounded form of ref's while(true) (:238)
+    max_window_cells: int = 12         # stencil cap (see _window_cells)
 
 
 class DenseFrame(NamedTuple):
@@ -82,24 +83,138 @@ class DenseFrame(NamedTuple):
     flow_p95: jnp.ndarray       # ()
 
 
-def _label_propagate(adj: jnp.ndarray, lab0: jnp.ndarray,
-                     P: int, n_iter: int = 16) -> jnp.ndarray:
-    """Connected components by min-label propagation WITH pointer
-    jumping: each sweep takes the neighborhood min, then follows the
-    label-of-label (`lab[lab]`), so n_iter sweeps cover components of
-    graph diameter ~2^n_iter instead of n_iter (r3 advisor: a
-    full-width KITTI ground band on the stride-5 grid needs 60+
-    one-hop sweeps and fragmented into several clusters under the old
-    32-hop loop, each eating one of the 16 cluster slots). Padding /
-    non-member labels are the sentinel P (out of range) and are left
-    untouched."""
-    def body(_, lab):
-        neigh = jnp.where(adj, lab[None, :], P)
-        lab = jnp.minimum(lab, jnp.min(neigh, axis=1))
-        jump = lab[jnp.clip(lab, 0, P - 1)]
-        return jnp.minimum(lab, jnp.where(lab < P, jump, P))
+def _grid_pad(a: jnp.ndarray, c: int, fill):
+    return jnp.pad(a, ((c, c), (c, c)) + ((0, 0),) * (a.ndim - 2),
+                   constant_values=fill)
 
-    return jax.lax.fori_loop(0, n_iter, body, lab0)
+
+def _patches(x2d: jnp.ndarray, c: int, fill) -> jnp.ndarray:
+    """All (2c+1)^2 window-shifted copies of a (ny, nx) grid plane as
+    ONE (W^2, ny, nx) tensor via lax.conv_general_dilated_patches — a
+    single XLA op the TPU compiler digests instantly, where both a
+    fully-unrolled shift stencil and a fori-of-dynamic-slices form blew
+    the remote compile past 4 minutes (the runtime was never the
+    problem). Channel k holds the neighbor at offset
+    (k // W - c, k % W - c). Non-float planes ride as f32 (labels
+    < 2^24 are exact) and are cast back by the caller."""
+    W = 2 * c + 1
+    xp = _grid_pad(x2d.astype(jnp.float32), c, fill)
+    p = jax.lax.conv_general_dilated_patches(
+        xp[None, None], filter_shape=(W, W), window_strides=(1, 1),
+        padding='VALID')
+    return p[0]
+
+
+def _window_cells(cam: CameraConfig, cfg: "DenseConfig") -> int:
+    """Stencil half-width (in grid cells) covering the clustering radii.
+
+    The sample points live on a regular stride-`s` pixel grid, so every
+    radius query is a bounded pixel window: the ground radius is
+    `ground_radius_px/s` cells exactly, and two 3D points within
+    `cluster_radius_3d` of each other at depth >= z_min (enforced by the
+    max_disparity gate) project within ~fx*r/(z_min*s) cells. This is
+    what lets the (P, P) distance matrices of the direct FLANN
+    translation collapse to stencils (see _grid_cc). Capped at
+    cfg.max_window_cells: beyond the cap, 3D-close but pixel-distant
+    pairs (possible at depth extremes toward the image edge) connect
+    only through intermediate samples — surfaces always have them."""
+    z_min = cam.fx * cam.baseline / cfg.max_disparity
+    c3d = int(np.ceil(cam.fx * cfg.cluster_radius_3d
+                      / (z_min * cfg.sample_stride)))
+    cpx = int(np.ceil(cfg.ground_radius_px / cfg.sample_stride))
+    return min(max(c3d, cpx, 1), cfg.max_window_cells)
+
+
+def _grid_cc(member: jnp.ndarray, xyz: jnp.ndarray, grid_shape, c: int,
+             r3d: float, point_label=None, is_ground_round=None,
+             rpx: float = None, stride: int = None,
+             n_iter: int = 8) -> jnp.ndarray:
+    """Connected components over the sample grid by stencil min-label
+    propagation with pointer jumping.
+
+    Replaces the dense (P, P) radius adjacency (the direct translation
+    of the reference's FLANN EuclideanCluster, ref tracker.cpp:332-392)
+    with a (2c+1)^2 neighborhood stencil on the (ny, nx) grid — the
+    arrays stay KB-sized and VMEM-resident instead of a 349 MB
+    adjacency at KITTI scale. Adjacency bits per offset are computed
+    once; each of the n_iter sweeps is shifted-min + label-of-label
+    jumping (diameter coverage ~2^n_iter window hops).
+
+    member: (P,) bool. xyz: (P, 3). point_label: optional (P,) int —
+    adjacency additionally requires equal labels (EuclideanFilter).
+    is_ground_round: optional traced bool selecting the ground metric
+    (pixel distance, STATIC per offset) over the 3D metric.
+    Returns (P,) int32 component roots (grid index), sentinel P for
+    non-members and padding."""
+    P = member.shape[0]
+    ny, nx = grid_shape
+    G = ny * nx
+    W = 2 * c + 1
+    mem = member[:G].reshape(ny, nx)
+    X = xyz[:G].reshape(ny, nx, 3)
+    r2 = r3d * r3d
+
+    # adjacency (W^2, ny, nx), built ONCE from patches tensors — the
+    # self offset is included (a self-edge is a no-op for min-
+    # propagation)
+    nm = _patches(mem, c, 0.0) > 0.5
+    d3 = sum((_patches(X[..., i], c, 1e9) - X[..., i]) ** 2
+             for i in range(3))
+    ok = d3 <= r2
+    if is_ground_round is not None:
+        dy, dx = jnp.divmod(jnp.arange(W * W), W)
+        okg = ((stride * stride)
+               * ((dy - c) ** 2 + (dx - c) ** 2)) <= rpx * rpx
+        ok = jnp.where(is_ground_round, okg[:, None, None], ok)
+    adj = ok & nm & mem
+    if point_label is not None:
+        labid = point_label[:G].reshape(ny, nx)
+        nid = _patches(labid, c, -7.0).astype(jnp.int32)
+        adj = adj & (nid == labid)
+
+    lab0 = jnp.where(mem, jnp.arange(G, dtype=jnp.int32).reshape(ny, nx),
+                     G)
+
+    def sweep(_, lab):
+        nl = _patches(lab, c, float(G)).astype(jnp.int32)
+        best = jnp.min(jnp.where(adj, nl, G), axis=0)
+        best = jnp.minimum(lab, best)
+        bf = best.reshape(-1)
+        jump = bf[jnp.clip(bf, 0, G - 1)]
+        bf = jnp.minimum(bf, jnp.where(bf < G, jump, G))
+        return bf.reshape(ny, nx)
+
+    lab = jax.lax.fori_loop(0, n_iter, sweep, lab0).reshape(-1)
+    comp = jnp.full((P,), P, jnp.int32)
+    return comp.at[:G].set(jnp.where(lab < G, lab, P))
+
+
+def _grid_absorb(point_label: jnp.ndarray, tracked_ok: jnp.ndarray,
+                 xyz: jnp.ndarray, grid_shape, c: int):
+    """Nearest TRACKED neighbor within the stencil window (the 3D-kNN
+    absorption of ref tracker.cpp:627-662 without the (P, P) distance
+    matrix). Returns (best_d2 (P,), best_label (P,))."""
+    P = point_label.shape[0]
+    ny, nx = grid_shape
+    G = ny * nx
+    X = xyz[:G].reshape(ny, nx, 3)
+    lab = point_label[:G].reshape(ny, nx)
+    trk = tracked_ok[:G].reshape(ny, nx)
+
+    nt = _patches(trk, c, 0.0) > 0.5                # (W^2, ny, nx)
+    nl = _patches(lab, c, -1.0).astype(jnp.int32)
+    d3 = sum((_patches(X[..., i], c, 1e9) - X[..., i]) ** 2
+             for i in range(3))
+    d3 = jnp.where(nt, d3, jnp.inf)
+    kbest = jnp.argmin(d3, axis=0)                  # (ny, nx)
+    best_d2 = jnp.min(d3, axis=0)
+    karange = jnp.arange(d3.shape[0])[:, None, None]
+    best_lab = jnp.sum(jnp.where(karange == kbest[None], nl, 0), axis=0)
+    best_lab = jnp.where(jnp.isfinite(best_d2), best_lab, -1)
+    out_d2 = jnp.full((P,), jnp.inf).at[:G].set(best_d2.reshape(-1))
+    out_lab = jnp.full((P,), -1, jnp.int32).at[:G].set(
+        best_lab.reshape(-1))
+    return out_d2, out_lab
 
 
 def _sample_grid(h: int, w: int, stride: int, max_points: int):
@@ -248,15 +363,14 @@ def track_clusters(f: DenseFrame, prev_labels: jnp.ndarray,
     tracked = point_label >= 0
 
     # -- steps 4-5 (ref :627-662): 3D nearest-neighbor absorption ------
-    d2 = jnp.sum((f.pts_xyz[:, None, :] - f.pts_xyz[None, :, :]) ** 2,
-                 axis=-1)                                 # (P, P)
-    d2_to_tracked = jnp.where(tracked[None, :] & f.pts_valid[None, :],
-                              d2, jnp.inf)
-    nn = jnp.argmin(d2_to_tracked, axis=1)
-    nn_d2 = jnp.min(d2_to_tracked, axis=1)
+    # stencil form: the nearest tracked point within the radius always
+    # sits inside the pixel window (see _window_cells)
+    wc = _window_cells(cam, cfg)
     r2 = cfg.cluster_radius_3d ** 2
+    nn_d2, nn_lab = _grid_absorb(point_label, tracked & f.pts_valid,
+                                 f.pts_xyz, grid_shape, wc)
     adopt = (~tracked) & f.pts_valid & (nn_d2 <= r2)
-    point_label = jnp.where(adopt, point_label[nn], point_label)
+    point_label = jnp.where(adopt, nn_lab, point_label)
     tracked = point_label >= 0
 
     # -- step 6 (ref :411-516): EuclideanFilter drift split ------------
@@ -266,11 +380,8 @@ def track_clusters(f: DenseFrame, prev_labels: jnp.ndarray,
     lab_ground = jnp.where(point_label >= 0, is_ground[
         jnp.clip(point_label, 0, C - 1)], False)
     filt = tracked & ~lab_ground & f.pts_valid
-    adj = (d2 <= r2) & filt[:, None] & filt[None, :] \
-        & (point_label[:, None] == point_label[None, :])
-    comp0 = jnp.where(filt, jnp.arange(P, dtype=jnp.int32), P)
-
-    comp = _label_propagate(adj, comp0, P)
+    comp = _grid_cc(filt, f.pts_xyz, grid_shape, wc,
+                    cfg.cluster_radius_3d, point_label=point_label)
     near = filt & (f.pts_xyz[:, 2] < cfg.near_z)
     near_count = jnp.zeros((P + 1,), jnp.int32).at[comp].add(
         near.astype(jnp.int32))[comp]
@@ -293,7 +404,7 @@ class RansacRoundOut(NamedTuple):
 def ransac_round(f: DenseFrame, residual: jnp.ndarray,
                  prev_depth: jnp.ndarray, is_ground_round: jnp.ndarray,
                  key: jnp.ndarray, cam: CameraConfig,
-                 cfg: DenseConfig) -> RansacRoundOut:
+                 cfg: DenseConfig, grid_shape=None) -> RansacRoundOut:
     """One RansacCluster iteration (ref tracker.cpp:238-389), jittable.
 
     Rigid RANSAC over the residual pool, the disparity-consistency gate
@@ -334,24 +445,259 @@ def ransac_round(f: DenseFrame, residual: jnp.ndarray,
     n_step1 = jnp.sum(step1)
 
     # Euclidean clustering of step-1 inliers: ground rounds use 2D
-    # pixel coords r=20 px, object rounds 3D coords r=0.5 m (ref :315-323)
-    coords = jnp.where(is_ground_round,
-                       jnp.concatenate([f.pts_uv,
-                                        jnp.zeros((P, 1))], axis=-1),
-                       f.pts_xyz)
-    radius = jnp.where(is_ground_round, cfg.ground_radius_px,
-                       cfg.cluster_radius_3d)
-    d2 = jnp.sum((coords[:, None, :] - coords[None, :, :]) ** 2, axis=-1)
-    adj = (d2 <= radius * radius) & step1[:, None] & step1[None, :]
-    comp0 = jnp.where(step1, jnp.arange(P, dtype=jnp.int32), P)
-
-    comp = _label_propagate(adj, comp0, P)
+    # pixel coords r=20 px, object rounds 3D coords r=0.5 m (ref
+    # :315-323) — as a grid stencil (ground adjacency is then STATIC
+    # per offset: the samples are grid points, so pixel distance is
+    # stride*hypot(dy, dx))
+    comp = _grid_cc(step1, f.pts_xyz, grid_shape, _window_cells(cam, cfg),
+                    cfg.cluster_radius_3d,
+                    is_ground_round=is_ground_round,
+                    rpx=cfg.ground_radius_px, stride=cfg.sample_stride)
     size = jnp.zeros((P + 1,), jnp.int32).at[comp].add(
         step1.astype(jnp.int32))[comp]
     comp = jnp.where(step1, comp, -1)
     size = jnp.where(step1, size, 0)
     return RansacRoundOut(comp=comp, comp_size=size, n_step1=n_step1,
                           T_cw=res.T_cw)
+
+
+class FusedState(NamedTuple):
+    """Device-resident inter-frame state of the fused dense tracker."""
+    labels: jnp.ndarray        # (P,) int32, -1 untracked
+    is_ground: jnp.ndarray     # (C,) bool
+    alive: jnp.ndarray         # (C,) bool
+    ever_created: jnp.ndarray  # () bool (ref's clusters_.empty() test)
+    prev_gray: jnp.ndarray     # (H, W)
+    prev_depth: jnp.ndarray    # (H, W)
+
+
+class FusedOut(NamedTuple):
+    labels: jnp.ndarray        # (P,) int32
+    skipped: jnp.ndarray       # () bool (low-motion gate)
+    flow_p95: jnp.ndarray      # ()
+    n_points: jnp.ndarray      # () int32 valid samples
+    n_tracked: jnp.ndarray     # () int32 labeled samples
+    n_new: jnp.ndarray         # () int32 clusters created this frame
+    cluster_T: jnp.ndarray     # (C, 4, 4) tracked rigid motions
+    cluster_ok: jnp.ndarray    # (C,) bool PnP accepted
+    sizes: jnp.ndarray         # (C,) int32 member counts
+    is_ground: jnp.ndarray     # (C,) bool
+
+
+def fused_step(state: FusedState, gl: jnp.ndarray, gr: jnp.ndarray,
+               key: jnp.ndarray, cam: CameraConfig, cfg: DenseConfig,
+               grid_shape) -> tuple:
+    """ONE jittable program per stereo pair: dense_frame + TrackCluster
+    + the residual RansacCluster rounds WITH on-device cluster-slot
+    allocation.
+
+    The stepwise host driver (DenseTracker.track) pays a device
+    round-trip per stage — ~8 synchronous relay RTTs per frame, which
+    dominated wall time at KITTI scale (scripts/profile_cluster.py:
+    ~35 ms of sync around ~8 ms of compute, per stage). Here the whole
+    per-frame loop including the reference's while(true) RansacCluster
+    (ref examples/epip_cluster/src/tracker.cpp:238-389) runs on device:
+    rounds are a lax.scan whose body is lax.cond-gated (a finished
+    round costs nothing), and the host's first-free-slot id allocation
+    becomes rank-over-free-slots arithmetic: component roots are the
+    points with comp[p]==p, ranked by cumsum, assigned
+    argsort(alive)[rank] — bit-identical to the sequential allocator
+    (tests/test_dense_tracker.py asserts fused == stepwise labels).
+
+    Skip semantics mirror the reference: below the p95 flow gate the
+    state (incl. prev frame) is returned UNCHANGED so motion
+    accumulates (ref :722-724, returns before the :750-752 update)."""
+    C = cfg.max_clusters
+    P = cfg.max_points
+    f = dense_frame(gl, gr, state.prev_gray, cam, cfg)
+    skip = f.flow_p95 < cfg.min_flow_p95
+
+    def pack(res: FusedOut) -> jnp.ndarray:
+        """ONE flat f32 output vector per frame. The relay deadlocked
+        intermittently when a frame's 10 output leaves were each
+        copy_to_host_async'd (observed: _fold blocked forever on a
+        value the device never delivered); the scan engine's one-
+        packed-array-per-dispatch pattern never hangs. Labels are
+        cluster ids < 2^24 — exact in f32."""
+        return jnp.concatenate([
+            res.labels.astype(jnp.float32),
+            jnp.stack([res.skipped.astype(jnp.float32),
+                       res.flow_p95,
+                       res.n_points.astype(jnp.float32),
+                       res.n_tracked.astype(jnp.float32),
+                       res.n_new.astype(jnp.float32)]),
+            res.sizes.astype(jnp.float32),
+            res.is_ground.astype(jnp.float32),
+            res.cluster_ok.astype(jnp.float32),
+            res.cluster_T.reshape(-1)])
+
+    def run(_):
+        out = track_clusters(f, state.labels, state.prev_depth,
+                             state.is_ground, state.alive, key, cam,
+                             cfg, grid_shape)
+
+        def round_body(carry, rnd):
+            labels, alive, is_ground, ever, done = carry
+            residual = labels < 0
+            do = (~done) & (jnp.sum(residual) >= 10)      # ref :239
+            ground_round = ~ever                          # ref :315
+
+            def do_round(_):
+                rk = jax.random.fold_in(key, 100 + rnd)
+                rout = ransac_round(f, residual, state.prev_depth,
+                                    ground_round, rk, cam, cfg,
+                                    grid_shape)
+                comp, size = rout.comp, rout.comp_size
+                root = (comp == jnp.arange(P)) \
+                    & (size >= cfg.min_cluster_size) \
+                    & (rout.n_step1 >= cfg.min_cluster_size)
+                rank = jnp.cumsum(root.astype(jnp.int32)) - 1
+                free_order = jnp.argsort(alive)   # free slots ascending
+                n_free = C - jnp.sum(alive)
+                ok_root = root & (rank < n_free)
+                cid_root = jnp.where(
+                    ok_root, free_order[jnp.clip(rank, 0, C - 1)], -1)
+                cid_pt = jnp.where(comp >= 0,
+                                   cid_root[jnp.clip(comp, 0, P - 1)], -1)
+                assign = cid_pt >= 0
+                slot = jnp.where(ok_root, cid_root, C)
+                alive2 = alive.at[slot].set(True, mode='drop')
+                ground2 = is_ground.at[slot].set(ground_round,
+                                                 mode='drop')
+                labels2 = jnp.where(assign, cid_pt, labels)
+                assigned = jnp.sum(assign)
+                ever2 = ever | (assigned > 0)
+                done2 = done \
+                    | (rout.n_step1 < cfg.min_cluster_size) \
+                    | (assigned < cfg.min_cluster_size)   # ref :381-383
+                return (labels2, alive2, ground2, ever2, done2,
+                        jnp.sum(ok_root))
+
+            def skip_round(_):
+                return (labels, alive, is_ground, ever, jnp.bool_(True),
+                        jnp.int32(0))
+
+            labels2, alive2, ground2, ever2, done2, n_created = \
+                jax.lax.cond(do, do_round, skip_round, None)
+            return (labels2, alive2, ground2, ever2, done2), n_created
+
+        carry0 = (out.labels, state.alive, state.is_ground,
+                  state.ever_created, jnp.bool_(False))
+        (labels, alive, is_ground, ever, _), created = jax.lax.scan(
+            round_body, carry0, jnp.arange(cfg.max_ransac_rounds))
+
+        # alive <- labels actually present (ref: mask0_ rebuild :747)
+        cnt = jnp.zeros((C + 1,), jnp.int32).at[
+            jnp.where(labels >= 0, labels, C)].add(1)
+        alive = cnt[:C] > 0
+        new_state = FusedState(labels=labels, is_ground=is_ground,
+                               alive=alive, ever_created=ever,
+                               prev_gray=gl, prev_depth=f.depth)
+        res = FusedOut(labels=labels, skipped=jnp.bool_(False),
+                       flow_p95=f.flow_p95,
+                       n_points=jnp.sum(f.pts_valid).astype(jnp.int32),
+                       n_tracked=jnp.sum(labels >= 0).astype(jnp.int32),
+                       n_new=jnp.sum(created).astype(jnp.int32),
+                       cluster_T=out.cluster_T, cluster_ok=out.cluster_ok,
+                       sizes=cnt[:C], is_ground=is_ground)
+        return new_state, pack(res)
+
+    def skipped(_):
+        res = FusedOut(labels=state.labels, skipped=jnp.bool_(True),
+                       flow_p95=f.flow_p95,
+                       n_points=jnp.sum(f.pts_valid).astype(jnp.int32),
+                       n_tracked=jnp.int32(-1), n_new=jnp.int32(0),
+                       cluster_T=jnp.zeros((C, 4, 4)),
+                       cluster_ok=jnp.zeros((C,), bool),
+                       sizes=jnp.zeros((C,), jnp.int32),
+                       is_ground=state.is_ground)
+        return state, pack(res)
+
+    return jax.lax.cond(skip, skipped, run, None)
+
+
+class FusedDenseTracker:
+    """Pipelined production driver over fused_step: one dispatch + one
+    async readback per frame at queue depth 2, so the relay round-trip
+    rides behind the next frames' device time (the same overlap the
+    SLAM scan engine uses; the reference overlaps nothing — its GPU ops
+    block per call, ref tracker.cpp:700-713)."""
+
+    def __init__(self, cam: CameraConfig, cfg: Optional[DenseConfig] = None,
+                 queue_depth: int = 2):
+        self.cam = cam
+        self.cfg = cfg or DenseConfig()
+        cfg_, cam_ = self.cfg, cam
+        _, _, self._grid_shape = _sample_grid(
+            cam.height, cam.width, cfg_.sample_stride, cfg_.max_points)
+        gs = self._grid_shape
+
+        @partial(jax.jit, donate_argnums=0)
+        def _step(state, gl, gr, k):
+            return fused_step(state, gl, gr, k, cam_, cfg_, gs)
+
+        @jax.jit
+        def _seed(gl, gr):
+            f0 = dense_frame(gl, gr, gl, cam_, cfg_)
+            return FusedState(
+                labels=jnp.full((cfg_.max_points,), -1, jnp.int32),
+                is_ground=jnp.zeros((cfg_.max_clusters,), bool),
+                alive=jnp.zeros((cfg_.max_clusters,), bool),
+                ever_created=jnp.bool_(False),
+                prev_gray=gl, prev_depth=f0.depth)
+
+        self._step_fn = _step
+        self._seed_fn = _seed
+        self._state = None
+        self._queue = []
+        self._queue_depth = queue_depth
+        self.frame_idx = 0
+
+    def _fold(self) -> dict:
+        v = np.asarray(self._queue.pop(0))     # ONE readback per frame
+        P, C = self.cfg.max_points, self.cfg.max_clusters
+        s = P
+        scalars = v[s:s + 5]
+        sizes = v[s + 5:s + 5 + C].astype(np.int32)
+        isg = v[s + 5 + C:s + 5 + 2 * C] > 0.5
+        ok = v[s + 5 + 2 * C:s + 5 + 3 * C] > 0.5
+        Ts = v[s + 5 + 3 * C:].reshape(C, 4, 4)
+        return {"skipped": bool(scalars[0] > 0.5),
+                "flow_p95": float(scalars[1]),
+                "n_points": int(scalars[2]),
+                "n_tracked": int(scalars[3]),
+                "n_new_clusters": int(scalars[4]),
+                "labels": v[:P].astype(np.int32),
+                "sizes": sizes,
+                "is_ground": isg,
+                "cluster_T": Ts,
+                "cluster_ok": ok}
+
+    def process(self, gray_l, gray_r) -> Optional[dict]:
+        """Dispatch one pair; returns the result of the frame dispatched
+        queue_depth earlier (None while the pipeline fills)."""
+        gl = jnp.asarray(gray_l, jnp.float32)
+        gr = jnp.asarray(gray_r, jnp.float32)
+        self.frame_idx += 1
+        if self._state is None:
+            self._state = self._seed_fn(gl, gr)
+            return None
+        key = jax.random.PRNGKey(self.frame_idx)
+        self._state, packed = self._step_fn(self._state, gl, gr, key)
+        try:
+            packed.copy_to_host_async()
+        except Exception:       # non-jax backends in tests
+            pass
+        self._queue.append(packed)
+        if len(self._queue) > self._queue_depth:
+            return self._fold()
+        return None
+
+    def flush(self) -> list:
+        outs = []
+        while self._queue:
+            outs.append(self._fold())
+        return outs
 
 
 class DenseTracker:
@@ -390,14 +736,14 @@ class DenseTracker:
             return track_clusters(f, prev_labels, prev_depth, is_ground,
                                   alive, key, cam_, cfg_, grid_shape)
 
-        @jax.jit
-        def _round(f, residual, prev_depth, is_ground_round, key):
+        def _round(f, residual, prev_depth, is_ground_round, key,
+                   grid_shape):
             return ransac_round(f, residual, prev_depth, is_ground_round,
-                                key, cam_, cfg_)
+                                key, cam_, cfg_, grid_shape)
 
         self._frame = _frame
         self._track = jax.jit(_track, static_argnames=("grid_shape",))
-        self._round = _round
+        self._round = jax.jit(_round, static_argnames=("grid_shape",))
 
     def _alloc_cluster(self, ground: bool) -> int:
         """Allocate a cluster id slot; -1 when capacity is exhausted."""
@@ -471,7 +817,8 @@ class DenseTracker:
             ground_round = not self.ever_created          # ref :315
             rout = self._round(f, jnp.asarray(residual), self.prev_depth,
                                jnp.asarray(ground_round),
-                               jax.random.fold_in(key, 100 + rnd))
+                               jax.random.fold_in(key, 100 + rnd),
+                               self._grid_shape)
             comp = np.asarray(rout.comp)
             size = np.asarray(rout.comp_size)
             if int(rout.n_step1) < cfg.min_cluster_size:  # ref :297

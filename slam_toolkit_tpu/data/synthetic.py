@@ -279,3 +279,79 @@ def loop_track(n_track: int, step: float = 0.8,
     shift = np.eye(4, dtype=np.float32)
     shift[:3, 3] = mid
     return [(T @ shift).astype(np.float32) for T in out]
+
+
+class ClusterScene(NamedTuple):
+    """KITTI-scale synthetic stereo motion scene for the dense-clustering
+    workload (ref examples/epip_cluster/src/tracker.cpp): a depth-banded
+    background consistent with ONE rigid camera translation, plus
+    independently moving textured boxes (the clusters to find). Frames
+    are pulled from one wide texture by per-band integer shifts, so
+    rendering is memcpy-cheap and the motion field is exactly rigid up
+    to the 0.5 px rounding (inside the tracker's 2 px RANSAC gate)."""
+    frames: list                 # [(left, right)] float32 (H, W)
+    mover_boxes: list            # per frame: [(x, y, size, disp)]
+    cam: "CameraConfig"
+
+
+def make_cluster_scene(n_frames: int = 50, height: int = 376,
+                       width: int = 1241, tx: float = 0.3,
+                       n_movers: int = 3, seed: int = 0,
+                       band_rows: int = 24) -> ClusterScene:
+    """Camera translating laterally by `tx` m/frame through a
+    fronto-parallel staircase world (disparity 8..48 px by row band —
+    all inside the tracker's (2, 50) disparity gate), with `n_movers`
+    boxes moving at their own lateral velocities. Matches the
+    reference's KITTI resolution and intrinsics
+    (ref src/dataset.cpp:87-105)."""
+    from slam_toolkit_tpu.config import CameraConfig
+    cam = CameraConfig()          # KITTI intrinsics by default
+    rng = np.random.default_rng(seed)
+    H, W = height, width
+    n_bands = (H + band_rows - 1) // band_rows
+    disps = np.round(np.linspace(8, 48, n_bands)).astype(int)
+    # background shift rate per band: flow = fx*tx/z = tx*d/baseline
+    rate = tx * disps / cam.baseline                   # px/frame
+    pad = int(np.ceil(rate.max() * n_frames)) + 64
+    tex = np.kron(rng.uniform(15, 240, ((H + 3) // 4, (W + pad + 3) // 4)),
+                  np.ones((4, 4)))[:H, :W + pad].astype(np.float32)
+
+    # movers: textured squares at fixed disparity, STATIC horizontally
+    # (the panning background slides past them — the relative motion is
+    # the full per-band rate, 15-20 px/frame, >= 7x the RANSAC gate)
+    # with a slow vertical drift; they stay in frame for any n_frames
+    msize = 120
+    mtex = [np.kron(rng.uniform(15, 240, (msize // 4, msize // 4)),
+                    np.ones((4, 4))).astype(np.float32)
+            for _ in range(n_movers)]
+    # each mover is NEARER than the background of every row its box
+    # ever covers (depth-ordered like a real object) — a farther-than-
+    # background mover is physically impossible and bleeds into the
+    # ground cluster through mixed-disparity box edges
+    mdisp = ([30, 36, 42][:n_movers]
+             + [28] * max(0, n_movers - 3))
+    my0 = [40.0, 150.0, 100.0][:n_movers] + [120.0] * max(0, n_movers - 3)
+    mx0 = [150, 500, 900][:n_movers] + [700] * max(0, n_movers - 3)
+    mdy = [0.0, 0.8, -0.8][:n_movers] + [0.6] * max(0, n_movers - 3)
+    y_max = H - msize - 1
+
+    frames, boxes = [], []
+    for t in range(n_frames):
+        left = np.empty((H, W), np.float32)
+        right = np.empty((H, W), np.float32)
+        for b in range(n_bands):
+            r0, r1 = b * band_rows, min((b + 1) * band_rows, H)
+            s = int(round(rate[b] * t))
+            left[r0:r1] = tex[r0:r1, s:s + W]
+            right[r0:r1] = tex[r0:r1, s + disps[b]:s + disps[b] + W]
+        fb = []
+        for i in range(n_movers):
+            x = mx0[i]
+            y = int(round(np.clip(my0[i] + mdy[i] * t, 1, y_max)))
+            left[y:y + msize, x:x + msize] = mtex[i]
+            xr = x - mdisp[i]
+            right[y:y + msize, xr:xr + msize] = mtex[i]
+            fb.append((x, y, msize, mdisp[i]))
+        frames.append((left, right))
+        boxes.append(fb)
+    return ClusterScene(frames=frames, mover_boxes=boxes, cam=cam)

@@ -199,3 +199,34 @@ def test_drift_split_drops_far_fragment():
     labels = np.asarray(out.labels)
     assert (labels[:10] == 1).sum() >= 8, labels[:14]
     assert (labels[10:14] == -1).all(), labels[10:14]
+
+
+def test_fused_matches_stepwise():
+    """The fused single-program step (tracker.fused_step: on-device
+    RANSAC rounds + rank-based slot allocation) must reproduce the
+    stepwise host driver's labels bit-exactly — same RNG keys, same
+    round gates, same first-free-slot allocation order."""
+    from slam_toolkit_tpu.cluster.tracker import FusedDenseTracker
+
+    tr = tracker()
+    ftr = FusedDenseTracker(tr.cam, tr.cfg)
+    step_outs, fused_outs = [], []
+    N = 8
+    for t in range(N):
+        l, r = make_scene(t)
+        step_outs.append(tr.track(l, r))
+        o = ftr.process(l, r)
+        if o is not None:
+            fused_outs.append(o)
+    fused_outs += ftr.flush()
+    assert len(fused_outs) == N - 1          # frame 0 seeds
+    for t in range(1, N):
+        s, f = step_outs[t], fused_outs[t - 1]
+        assert s.get("skipped", False) == f["skipped"], t
+        if f["skipped"]:
+            continue
+        np.testing.assert_array_equal(
+            s["labels"], f["labels"],
+            err_msg=f"fused labels diverge at frame {t}")
+        assert s["n_new_clusters"] == f["n_new_clusters"], t
+        assert s["n_tracked"] == f["n_tracked"], t

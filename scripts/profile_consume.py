@@ -203,6 +203,37 @@ def main():
             return wrap
         setattr(eng, nm, mk(nm))
 
+    # closure-fold internals: host-engine sub-calls + the finisher
+    h = eng._host
+    for nm in ("_detect_accept", "_dispatch_close", "_relpose",
+               "_snapshot", "_covis"):
+        def mkh(nm):
+            orig = getattr(h, nm)
+
+            def wrap(*a, **k):
+                t0 = time.perf_counter()
+                out = orig(*a, **k)
+                dt = time.perf_counter() - t0
+                tick("h." + nm, t0)
+                if dt > 0.02:
+                    print(f"      [h.{nm} took {dt * 1e3:.0f} ms]",
+                          file=sys.stderr)
+                return out
+            return wrap
+        setattr(h, nm, mkh(nm))
+    orig_fin = eng._finish_pending_closures
+
+    def fin_timed(*a, **k):
+        t0 = time.perf_counter()
+        out = orig_fin(*a, **k)
+        dt = time.perf_counter() - t0
+        tick("finish_pending", t0)
+        if dt > 0.02:
+            print(f"    [finish_pending took {dt * 1e3:.0f} ms]",
+                  file=sys.stderr)
+        return out
+    eng._finish_pending_closures = fin_timed
+
     chunks = [jnp.asarray(stacked[i:i + chunk], jnp.float32)
               for i in range(0, n, chunk)]
     jax.block_until_ready(chunks)

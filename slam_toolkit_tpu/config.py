@@ -233,6 +233,13 @@ class LoopConfig:
     #                                   still beats a blind constant-
     #                                   velocity prediction, whereas a
     #                                   weak LOOP EDGE corrupts the graph
+    reloc_lost_streak: int = 6        # chunked engine: consecutive lost
+    #                                   frames (packed ok=0) before a
+    #                                   fold-time BoW relocalization is
+    #                                   attempted; the per-frame engine
+    #                                   relocs on every lost frame, but a
+    #                                   fold sees whole chunks, and a 1-2
+    #                                   frame blip recovers by itself
     closure_cooldown_kfs: int = 10    # suppress detection for this many
     #                                   keyframes after a closure —
     #                                   ORB-SLAM2's mLastLoopKFid+10 gate;

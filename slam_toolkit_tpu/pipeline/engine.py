@@ -621,7 +621,12 @@ class SlamEngine:
         if self.vocab is None:
             return
         z = jnp.int32(0)
-        outs = [self._covis(self.map, jnp.zeros((8,), jnp.int32))]
+        # BOTH covis batch shapes the pipeline uses (pads to multiples
+        # of 8): a 16-wide candidate batch first appearing at the
+        # closure fold recompiled _covis mid-run (~120 ms stall right
+        # where the pipeline is busiest, scripts/profile_consume.py r4)
+        outs = [self._covis(self.map, jnp.zeros((8,), jnp.int32)),
+                self._covis(self.map, jnp.zeros((16,), jnp.int32))]
         outs.append(self._relpose(self.map, z, z))
         if self.cfg.loop.seam_ba:
             outs.append(self._seam_ba(empty_map(self.cfg), z, z))

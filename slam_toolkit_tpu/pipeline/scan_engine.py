@@ -17,7 +17,9 @@ like the reference's second thread.
 from __future__ import annotations
 
 import os
+import queue as queue_mod
 import sys
+import threading
 from typing import List, NamedTuple, Optional
 
 import jax
@@ -303,6 +305,12 @@ class ChunkedSlamEngine:
         #                                            chunks were in flight (the
         #                                            tracking head re-seeded
         #                                            through its anchor)
+        # chunked relocalization (VERDICT r3 #6): consecutive lost
+        # frames across folds; fold-time BoW reloc fires at
+        # cfg.loop.reloc_lost_streak, then blocks until the correction
+        # has propagated through the in-flight chunks
+        self._lost_streak = 0
+        self._reloc_block_fid = -1
 
         # tracking-head re-seed across a closure: the head pose relative
         # to the latest keyframe is preserved, the keyframe itself moved
@@ -324,6 +332,53 @@ class ChunkedSlamEngine:
         # rows folded by _ensure_headroom's internal flush, owed to the
         # caller on the next process_chunk/flush return
         self._owed_rows: List[np.ndarray] = []
+
+        # ---- mapping worker (the reference's second thread, ref
+        # src/pipeline.cpp:95,98-141): loop detection phases run on a
+        # background thread so a FOLD never blocks on closure host work
+        # (~170 ms of sync/dispatch stalls clustered around the closure
+        # event, scripts/profile_consume.py r4). The lock serializes
+        # every h.map/bow_db READER-DISPATCHER against the worker's
+        # closure mutations — mandatory because chunk dispatches DONATE
+        # the map buffers the closure programs read. Blocking device
+        # syncs stay off the lock path via the is_ready aging in
+        # _finish_pending_closures. SLAM_LOOP_THREAD=0 restores the
+        # inline (deterministic) order for debugging.
+        self._loop_lock = threading.RLock()
+        self._loop_thread_on = (vocab is not None and
+                                os.environ.get("SLAM_LOOP_THREAD", "1")
+                                == "1")
+        self._loop_worker_err: Optional[BaseException] = None
+        if self._loop_thread_on:
+            self._loop_jobs: queue_mod.Queue = queue_mod.Queue()
+            t = threading.Thread(target=self._loop_worker_main,
+                                 daemon=True, name="slam-mapping")
+            t.start()
+            self._loop_worker = t
+
+    def _loop_worker_main(self) -> None:
+        while True:
+            job = self._loop_jobs.get()
+            try:
+                if job is None:
+                    return
+                kind, args = job
+                with self._loop_lock:
+                    if kind == "p1":
+                        self._loop_phase1(*args)
+                    elif kind == "p2":
+                        self._loop_phase2()
+            except BaseException as e:     # surfaced at the next flush
+                self._loop_worker_err = e
+            finally:
+                self._loop_jobs.task_done()
+
+    def _drain_loop_jobs(self) -> None:
+        if self._loop_thread_on:
+            self._loop_jobs.join()
+        if self._loop_worker_err is not None:
+            err, self._loop_worker_err = self._loop_worker_err, None
+            raise err
 
     @property
     def map(self) -> MapState:
@@ -411,7 +466,13 @@ class ChunkedSlamEngine:
     def _dispatch(self, imgs, t0: float) -> None:
         """Run one chunk and re-point every host device-state mirror at
         the output carry — the input carry's buffers are DONATED to the
-        call and dead the moment it is issued."""
+        call and dead the moment it is issued. Holds the loop lock: the
+        mapping worker dispatches closure programs against the SAME
+        buffers this call donates."""
+        with self._loop_lock:
+            self._dispatch_locked(imgs, t0)
+
+    def _dispatch_locked(self, imgs, t0: float) -> None:
         carry_in = self._carry_cache if self._carry_cache is not None \
             else self._carry()
         carry, packed = self._chunk(carry_in, imgs)
@@ -443,7 +504,11 @@ class ChunkedSlamEngine:
         if carry.kf_img is not None:      # direct-method anchor mirrors
             h._kf_img, h._kf_ab = carry.kf_img, carry.kf_ab
         self._pending.append({"packed": packed, "t0": t0,
-                              "n": int(imgs.shape[0])})
+                              "n": int(imgs.shape[0]),
+                              # last stereo pair, kept on device for a
+                              # possible fold-time relocalization (no
+                              # copy — chunk images are never donated)
+                              "last_img": imgs[-1]})
 
     def flush(self) -> np.ndarray:
         """Drain every in-flight chunk (no-op when nothing is pending).
@@ -452,13 +517,20 @@ class ChunkedSlamEngine:
         rows, self._owed_rows = self._owed_rows, []
         while self._pending:
             rows.append(self._fold_one())
+        if self._owed_rows:
+            # a fold above triggered a reloc drain of the chunks behind
+            # it — their rows landed in _owed_rows, in order
+            rows.extend(self._owed_rows)
+            self._owed_rows = []
         if self.vocab is not None:
-            if self._loop_stash:
-                # the last chunk's detection is still one fold behind
-                self._loop_phase2()
-            # a relpose dispatched by the final phase2 has no later fold
-            # to land in — finish it now (blocks briefly on its result)
-            self._finish_pending_closures()
+            self._drain_loop_jobs()      # mapping worker catches up
+            with self._loop_lock:
+                if self._loop_stash:
+                    # the last chunk's detection is still one fold behind
+                    self._loop_phase2()
+                # a relpose dispatched by the final phase2 has no later
+                # fold to land in — finish it now (blocks on its result)
+                self._finish_pending_closures()
         return np.concatenate(rows, axis=0) if rows else \
             np.zeros((0, PACK_WIDTH), np.float32)
 
@@ -508,12 +580,85 @@ class ChunkedSlamEngine:
         # extra chunk of detection lag is the same staleness the
         # reference's mapping thread has (ref src/pipeline.cpp:98-141).
         if self.vocab is not None:
-            self._loop_phase2()
-            if self._loop_queue:
-                self._loop_phase1(self._loop_queue.pop(0), packed_np)
+            # ---- chunked relocalization (VERDICT r3 #6) --------------
+            # the reference has NO recovery at all (constant velocity
+            # forever, ref src/pipeline.cpp:154-166); the per-frame
+            # engine relocs per lost frame — here a lost STREAK at fold
+            # time triggers one BoW reloc on the chunk's last image
+            # any >=threshold run of lost rows triggers reloc — even if
+            # later rows flipped back to ok: the forced-keyframe path
+            # re-locks tracking LOCALLY onto a garbage-pose keyframe
+            # within ~2 frames, so a trailing-only streak never sees a
+            # sustained loss (the global pose is still wrong)
+            ok_rows = packed_np[:, 33] > 0.5
+            streak, fire = self._lost_streak, False
+            for okf in ok_rows:
+                streak = 0 if okf else streak + 1
+                if streak >= self.cfg.loop.reloc_lost_streak:
+                    fire = True
+            self._lost_streak = streak
+            if (fire and h.frame_id >= self._reloc_block_fid
+                    and h.n_keyframes >= 2):
+                # reloc against the NEWEST dispatched image, not the
+                # folded one: the recovered pose re-seeds the tracking
+                # HEAD, which is queue_depth chunks ahead of this fold
+                head_img = self._pending[-1]["last_img"] \
+                    if self._pending else p["last_img"]
+                self._try_chunked_reloc(head_img)
+
+            # base_fid is captured NOW: the worker may run phase1 after
+            # later folds have advanced h.frame_id
+            base_fid = h.frame_id - len(packed_np)
+            if self._loop_thread_on:
+                self._loop_jobs.put(("p2", ()))
+                if self._loop_queue:
+                    self._loop_jobs.put(
+                        ("p1", (self._loop_queue.pop(0), packed_np,
+                                base_fid)))
+            else:
+                self._loop_phase2()
+                if self._loop_queue:
+                    self._loop_phase1(self._loop_queue.pop(0), packed_np,
+                                      base_fid)
             if n_new_kf:
                 self._host._precompile_tiers_async()
         return packed_np
+
+    def _try_chunked_reloc(self, last_img) -> None:
+        """Fold-time BoW relocalization for the chunked engine: extract
+        the folded chunk's last image, rank keyframes via the BoW db,
+        re-track the best (engine._try_relocalize), and on success
+        re-seed the tracking head with the recovered pose. The frames
+        in flight tracked garbage from the lost pose — their packed
+        rows stay as recorded (the reference records garbage forever,
+        having no recovery at all); the NEXT dispatched chunk starts
+        from the recovered pose at zero velocity. While the occlusion
+        itself persists the attempt fails cheaply and retries next
+        fold."""
+        h = self._host
+        with self._loop_lock:
+            frame = h._build(last_img[0])
+            reloc_T = h._try_relocalize(frame)
+            if reloc_T is None:
+                return
+            h.T_cw = reloc_T
+            h.velocity = jnp.eye(4, dtype=jnp.float32)
+            self._carry_cache = None
+            self._lost_streak = 0
+            # block re-attempts until the correction has flowed through
+            # the queued chunks (they still fold with pre-reloc poses)
+            self._reloc_block_fid = h.frame_id \
+                + sum(p["n"] for p in self._pending) + self.chunk_size
+        # drain the in-flight chunks NOW (their rows are garbage-pose
+        # bookkeeping anyway): the next dispatched chunk then starts
+        # immediately after the image the pose was recovered FROM —
+        # without the drain, queue_depth*chunk frames of staleness sit
+        # between the recovered pose and the next chunk's first frame,
+        # which re-loses tracking under fast motion. Reentrant on
+        # purpose (called from _fold_one); the drained rows are owed to
+        # the caller.
+        while self._pending:
+            self._owed_rows.append(self._fold_one())
 
     def _ensure_headroom(self, n_next: int):
         """Cull redundant keyframes when the ring nears capacity (the scan
@@ -574,7 +719,8 @@ class ChunkedSlamEngine:
             pass
         self._loop_queue.append({"sc": sc})
 
-    def _loop_phase1(self, entry: dict, packed_np: np.ndarray) -> None:
+    def _loop_phase1(self, entry: dict, packed_np: np.ndarray,
+                     base_fid: Optional[int] = None) -> None:
         """Read one folded chunk's scores (already host-side via the
         dispatch-time async copy), dispatch the covis prefetch for ALL
         its candidates, and stash the detection for the NEXT fold —
@@ -658,7 +804,8 @@ class ChunkedSlamEngine:
             "kf_rows": kf_rows, "slots": slots, "cand_np": cand_np,
             "scores_np": scores_np, "covis_dev": covis_dev,
             "cand_all": cand_all, "spec": spec,
-            "base_fid": h.frame_id - len(packed_np)})
+            "base_fid": (h.frame_id - len(packed_np)
+                         if base_fid is None else base_fid)})
 
     def _loop_phase2(self) -> None:
         """Consistency + (pipelined) closure for the stashed detection
@@ -726,16 +873,30 @@ class ChunkedSlamEngine:
         folding normally, their packed outputs being anchor-relative.
 
         ready_only: only consume entries whose measurements have aged a
-        fold (speculative hits are born ready); fresh dispatches are
-        aged for the next call instead of blocking this one."""
+        fold (speculative hits are born ready) AND whose device results
+        have actually LANDED (jax.Array.is_ready) — a fold must not
+        block on a relpose the busy device hasn't delivered yet
+        (observed ~50 ms stalls one fold after detection,
+        scripts/profile_consume.py r4). Entries are force-consumed
+        after 3 extra folds so a wedged readiness probe cannot starve
+        the closure."""
         h = self._host
         remaining = []
         while self._closure_pend:
             pc = self._closure_pend.pop(0)
-            if ready_only and not pc.get("ready", True):
-                pc["ready"] = True
-                remaining.append(pc)
-                continue
+            if ready_only:
+                age = pc.get("age", 1 if pc.get("ready", True) else 0)
+                pc["age"] = age + 1
+                landed = age >= 1
+                if landed and age < 4:
+                    try:
+                        landed = all(r.ok.is_ready()
+                                     for _, r in pc["rels"])
+                    except AttributeError:
+                        pass        # backend without is_ready: block
+                if not landed:
+                    remaining.append(pc)
+                    continue
             if (h.n_keyframes - h._last_closure_nkf
                     < h.cfg.loop.closure_cooldown_kfs):
                 continue        # a closure landed since this detection
@@ -775,10 +936,27 @@ class ChunkedSlamEngine:
                 self.n_replays += 1
                 # prefetched covis rows (pre-merge counts) are stale
                 # and would silently shape the NEXT detection's accScore
-                # groups — drop them; _detect_accept falls back to a
-                # fresh batched dispatch (VERDICT r2 weak #5)
+                # groups (VERDICT r2 weak #5). RE-DISPATCH them now
+                # against the corrected map (the close program is
+                # already in the device stream, so these read post-merge
+                # counts) instead of just dropping: the None fallback
+                # made the next fold's _detect_accept dispatch + read
+                # covis SYNCHRONOUSLY (~100 ms observed at the closure
+                # fold, scripts/profile_consume.py r4)
                 for later in self._loop_stash:
-                    later["covis_dev"] = None
+                    ca = later.get("cand_all")
+                    if ca is None or not len(ca):
+                        later["covis_dev"] = None
+                        continue
+                    padn = 8 * ((len(ca) + 7) // 8)
+                    pad = np.zeros(padn, np.int32)
+                    pad[:len(ca)] = ca
+                    later["covis_dev"] = h._covis(h.map,
+                                                  jnp.asarray(pad))
+                    try:
+                        later["covis_dev"].copy_to_host_async()
+                    except Exception:   # non-jax arrays in tests
+                        pass
                 break
         self._closure_pend = remaining
 

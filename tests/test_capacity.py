@@ -56,6 +56,7 @@ def test_trajectory_survives_culling(capacity_run):
     assert err < 1.0, f"ATE after capacity culling {err:.3f} m"
 
 
+@pytest.mark.slow
 def test_scan_engine_headroom():
     """Same endurance path through the chunked driver: _ensure_headroom
     must cull ahead of blind in-scan insertions and re-anchor pending

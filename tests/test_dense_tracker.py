@@ -95,6 +95,7 @@ def box_label(out, name, t):
     raise KeyError(name)
 
 
+@pytest.mark.slow
 def test_temporal_cluster_tracking():
     tr = tracker()
     N = 12
@@ -155,6 +156,7 @@ def test_temporal_cluster_tracking():
     assert all(id_c[t] == c_id for t in range(acq, N)), id_c
 
 
+@pytest.mark.slow
 def test_drift_split_drops_far_fragment():
     """EuclideanFilter counterpart (ref tracker.cpp:411-516): when a
     tracked cluster's members split into disconnected 3D fragments, the
@@ -201,6 +203,7 @@ def test_drift_split_drops_far_fragment():
     assert (labels[10:14] == -1).all(), labels[10:14]
 
 
+@pytest.mark.slow
 def test_fused_matches_stepwise():
     """The fused single-program step (tracker.fused_step: on-device
     RANSAC rounds + rank-based slot allocation) must reproduce the

@@ -36,6 +36,7 @@ def run_direct():
     return eng, gt
 
 
+@pytest.mark.slow
 def test_direct_ate(run_direct):
     eng, gt = run_direct
     assert len(eng.trajectory) == len(gt)
@@ -49,6 +50,7 @@ def test_direct_map_grows(run_direct):
     assert eng.num_mappoints() > 50
 
 
+@pytest.mark.slow
 def test_direct_chunked_engine():
     """The chunked scan engine (the production/bench path) tracks
     photometrically too: the anchor keyframe image rides the scan carry

@@ -1,6 +1,7 @@
 """ops/fast_kernel.py: fused FAST+NMS kernel vs the XLA reference."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from slam_toolkit_tpu.ops import fast
@@ -17,6 +18,7 @@ def _image(h, w, seed, n_blobs=60):
     return jnp.asarray(np.clip(img, 0, 255))
 
 
+@pytest.mark.slow
 def test_dual_matches_xla_interpret():
     for (h, w, seed) in [(96, 200, 0), (64, 130, 1), (130, 383, 2)]:
         img = _image(h, w, seed)

@@ -1,6 +1,7 @@
 """ops/match_kernel.py: fused top-2 matcher vs the dense XLA reference."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from slam_toolkit_tpu.ops.match_kernel import (_topk2_pallas, _topk2_xla,
@@ -22,6 +23,7 @@ def _case(m, n, seed, w=640.0, h=480.0):
     return a_desc, b_desc, a_uv, jnp.asarray(b_xy.astype(np.float32))
 
 
+@pytest.mark.slow
 def test_kernel_matches_xla_interpret():
     for (m, n, seed) in [(256, 256, 0), (512, 384, 1), (384, 512, 2)]:
         a_desc, b_desc, a_uv, b_xy = _case(m, n, seed)

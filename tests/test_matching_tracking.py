@@ -5,6 +5,7 @@ descriptors, exercising the exact code path the engine uses)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from slam_toolkit_tpu.config import SlamConfig, CameraConfig
 from slam_toolkit_tpu.frontend.frame import FrameState
@@ -122,6 +123,7 @@ def test_track_pose_end_to_end():
     assert int(res.n_inliers) > n * 0.7
 
 
+@pytest.mark.slow
 def test_track_pose_wide_retry():
     """With a badly-off prediction, the doubled-radius pass should rescue it."""
     rng = np.random.default_rng(3)

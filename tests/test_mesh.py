@@ -46,6 +46,7 @@ def dp_run():
     return cfg, mesh, seqs, carry, np.stack(packs, axis=1)  # (B, T-1, 36)
 
 
+@pytest.mark.slow
 def test_maps_grow_independently(dp_run):
     cfg, mesh, seqs, carry, packs = dp_run
     n_kf = np.asarray(carry.m.kf_valid.sum(axis=1))
@@ -79,6 +80,7 @@ def test_sharding_held(dp_run):
     assert spec and spec[0] == "seq", f"batch axis not sharded: {spec}"
 
 
+@pytest.mark.slow
 def test_chunked_dp_matches_per_frame(dp_run):
     """multi_sequence_chunk (lax.scan over the vmapped frame body — the
     BENCH_DP dispatch granularity) must produce the same packed outputs
@@ -115,6 +117,7 @@ def _dp_inputs(cfg, seqs, mesh):
     return cam, carry, imgs
 
 
+@pytest.mark.slow
 def test_lane_chunk_matches_vmap(dp_run):
     """multi_sequence_lane_chunk (lax.map over lanes — the keyframe cond
     stays real control flow) must produce the same packed outputs as the
@@ -127,6 +130,7 @@ def test_lane_chunk_matches_vmap(dp_run):
     np.testing.assert_allclose(got, packs, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_shard_chunk_matches_vmap_and_holds_sharding(dp_run):
     """multi_sequence_shard_chunk (shard_map over `seq`, unbatched scan
     per shard) must agree with the vmapped chunk and keep every output

@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from slam_toolkit_tpu.geometry import se3
 from slam_toolkit_tpu.optim.pose_graph import PoseGraphProblem, solve_pose_graph
@@ -80,6 +81,7 @@ def test_loop_closure_removes_drift():
     assert err_after < err_before * 0.8, (err_before, err_after)
 
 
+@pytest.mark.slow
 def test_fixed_pose_untouched():
     n = 6
     T_true = circle_poses(n)

@@ -6,11 +6,13 @@ import json
 import os
 
 import numpy as np
+import pytest
 
 ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                     "fixtures", "kitti_mini")
 
 
+@pytest.mark.slow
 def test_run_kitti_chunked(tmp_path, capsys):
     from slam_toolkit_tpu import run_kitti
     out = str(tmp_path / "out")

@@ -33,6 +33,7 @@ def test_chunked_creates_keyframes(run_chunked):
     assert len(kf_frames) >= 1
 
 
+@pytest.mark.slow
 def test_carry_frame_id_includes_inflight():
     """A carry rebuilt while chunks are in flight (the pipelined-closure
     path sets _carry_cache=None without draining) must seed the device
@@ -52,6 +53,7 @@ def test_carry_frame_id_includes_inflight():
     eng.flush()
 
 
+@pytest.mark.slow
 def test_bow_overflow_rows_still_registered():
     """A chunk with more than BOW_ROWS keyframes caps DETECTION only:
     every keyframe row must still be REGISTERED in the BoW database —

@@ -50,6 +50,7 @@ def test_seam_window_forces_both_sides(small_map):
     assert cur in members and cand in members
 
 
+@pytest.mark.slow
 def test_seam_ba_holds_old_side_fixed(small_map):
     cfg, m = small_map
     fid = np.asarray(m.kf_frame_id)

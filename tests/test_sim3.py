@@ -8,6 +8,7 @@ pose graph corrects but the SE(3) one cannot.
 """
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from slam_toolkit_tpu.geometry import se3, sim3
@@ -131,6 +132,7 @@ def _scale_drifted_loop(n=24, drift_per_edge=1.01):
         eT_sim3, s
 
 
+@pytest.mark.slow
 def test_sim3_pose_graph_absorbs_scale_drift():
     from slam_toolkit_tpu.optim.pose_graph import (PoseGraphProblem,
                                                    solve_pose_graph,

@@ -1,6 +1,7 @@
 """ops/stereo_sad.py: correlation stereo against known disparities."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from slam_toolkit_tpu.ops import stereo_sad
@@ -37,6 +38,7 @@ def test_recovers_constant_disparity():
     assert np.median(err) < 0.25, np.median(err)
 
 
+@pytest.mark.slow
 def test_uniqueness_rejects_flat_regions():
     h, w = 96, 384
     left = jnp.zeros((h, w), jnp.float32)

@@ -1,5 +1,6 @@
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from slam_toolkit_tpu.loop import vocab as V
 from slam_toolkit_tpu.loop.detector import ConsistencyTracker
@@ -111,6 +112,7 @@ def test_dbow2_text_roundtrip(tmp_path):
     assert len(set(m.values())) == len(m)
 
 
+@pytest.mark.slow
 def test_topw_matches_dense_scores():
     """Sparse top-w scoring equals dense L1 when w >= distinct words,
     and lower-bounds it when truncated (SURVEY §7.3 top-w design;
@@ -185,6 +187,7 @@ def _synthetic_big_vocab(k: int, levels: int, seed: int) -> "V.Vocabulary":
                         k=k, levels=levels)
 
 
+@pytest.mark.slow
 def test_orbvoc_scale_topw_runtime():
     """A k=10, L=5 (100k-word) vocabulary runs the full sparse
     query->register->score path under the production memory budget —

@@ -233,6 +233,13 @@ class LoopConfig:
     #                                   still beats a blind constant-
     #                                   velocity prediction, whereas a
     #                                   weak LOOP EDGE corrupts the graph
+    relpose_depth_baselines: float = 40.0   # loop relpose solves on
+    #                                   landmarks nearer than this many
+    #                                   stereo baselines when enough
+    #                                   exist (ORB-SLAM2's close/far
+    #                                   split): far stereo depths are
+    #                                   biased and slide the pose along
+    #                                   the rot/trans ambiguity valley
     reloc_lost_streak: int = 6        # chunked engine: consecutive lost
     #                                   frames (packed ok=0) before a
     #                                   fold-time BoW relocalization is

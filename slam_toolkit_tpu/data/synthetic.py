@@ -222,6 +222,51 @@ def make_sequence(cfg: SlamConfig, n_frames: int = 30, seed: int = 0,
     return world, poses, frames
 
 
+def fig8_track(n_lobe: int, step: float = 0.8, ramp: int = 8,
+               revisit: int = 0) -> List[np.ndarray]:
+    """Figure-eight: lobe 1 turns a full +yaw revolution, lobe 2 a full
+    -yaw revolution; both close exactly at the origin, so the track
+    produces TWO distinct loop seams (end of lobe 1 against the start,
+    end of lobe 2 against the same junction) plus, with `revisit` > 0,
+    a third pass over lobe 1's first poses AFTER both corrections —
+    the multi-closure scenario the reference's closed-loop replay ring
+    exists for (ref src/loopcloser.cpp:160-191). Yaw rate ramps over
+    `ramp` frames at each lobe start/end and at the sign flip (a step
+    change in curvature is untrackable at high focal lengths — same
+    rationale as loop_track)."""
+    import jax.numpy as jnp
+
+    from slam_toolkit_tpu.geometry import se3
+
+    def lobe_rates(sgn):
+        prof = np.ones(n_lobe)
+        r = min(ramp, n_lobe // 4)
+        prof[:r] = np.linspace(0.0, 1.0, r, endpoint=False)
+        prof[-r:] = np.linspace(1.0, 0.0, r)
+        prof = prof * (2.0 * np.pi / prof.sum())
+        return sgn * prof
+
+    rates = np.concatenate([lobe_rates(+1.0), lobe_rates(-1.0)])
+    out = []
+    T_wc = np.eye(4, dtype=np.float32)
+    for dyaw in rates:
+        out.append(np.linalg.inv(T_wc).astype(np.float32))
+        dT = np.asarray(se3.exp(jnp.asarray(
+            [0.0, 0.0, step, 0.0, float(dyaw), 0.0], jnp.float32)))
+        T_wc = (T_wc @ dT).astype(np.float32)
+    # exact closure of each lobe: spread the tiny numerical closure
+    # error of the composed increments across the whole track
+    T_N = np.linalg.inv(T_wc).astype(np.float32)
+    xi = np.asarray(se3.log(jnp.asarray(T_N)))
+    n = len(out)
+    fixed = []
+    for t, T in enumerate(out):
+        W = np.asarray(se3.exp(jnp.asarray(-xi * (t / n), jnp.float32)))
+        fixed.append(np.asarray(se3.normalize(
+            jnp.asarray(T @ W))).astype(np.float32))
+    return fixed + fixed[:revisit]
+
+
 def loop_track(n_track: int, step: float = 0.8,
                ramp: int = 12) -> List[np.ndarray]:
     """Closed KITTI-like test track: 4 corners with clothoid (linearly

@@ -823,6 +823,9 @@ class SlamEngine:
         k = self.n_closed % MAX_CLOSED_LOOPS
         tier = self._close_tier()
         self._ensure_tier(tier)
+        # pre-correction candidate pose for the seam-dissection record
+        # below (must be read BEFORE the close program reassigns map)
+        T_cand_pre = np.asarray(self.map.kf_T_cw)[cand]
         corr_m = None
         if self.cfg.loop.seam_ba:
             # closure-correction magnitude at the current keyframe
@@ -854,7 +857,15 @@ class SlamEngine:
         self.consistency.reset()
         self.loop_events.append(
             {"frame": fid, "kf_slot": slot, "cand": cand,
-             "inliers": n_new})
+             "inliers": n_new, "fid_cand": fid_cand,
+             # raw measurement diagnostics (seam dissection): the
+             # re-tracked current-keyframe pose in the candidate side's
+             # PRE-correction world, and that pre-correction candidate
+             # pose — lets an evaluator with GT compute the loop edge's
+             # own error separately from the graph residual. One ~64 KB
+             # readback per closure, off the fold path (mapping worker).
+             "T_meas": np.asarray(rel.T_cw).tolist(),
+             "T_cand_pre": T_cand_pre.tolist()})
 
     def _consume_scores(self, slot: int, cand_mask: np.ndarray,
                         scores: np.ndarray, covis_of: Optional[dict] = None,

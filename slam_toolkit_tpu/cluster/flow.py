@@ -149,8 +149,19 @@ def _flow_update(A0, b0, A1w, b1w, flow, win: int = 13) -> jnp.ndarray:
 
 def farneback_flow(img0: jnp.ndarray, img1: jnp.ndarray, levels: int = 5,
                    scale: float = 0.5, win: int = 13,
-                   iters: int = 2) -> jnp.ndarray:
-    """(H, W) pair -> (H, W, 2) dense flow img0 -> img1."""
+                   iters: int = 2, max_flow_x: int = 64,
+                   max_flow_y: int = 24) -> jnp.ndarray:
+    """(H, W) pair -> (H, W, 2) dense flow img0 -> img1.
+
+    max_flow_x/y bound the recoverable displacement AT FULL RESOLUTION:
+    the gather-free warp saturates flow beyond its shift range, so a
+    too-small bound biases exactly the fast near-field movers the
+    clustering workload targets (r4 advisor — the old hardcoded 48/16 px
+    silently clipped KITTI near-field flow). The per-level range scales
+    with the level (flow in level pixels is full flow x the level
+    scale), so widening the bound costs warp iterations mostly at the
+    finest level while the coarse levels get CHEAPER than the old
+    fixed-48 range."""
     h, w = img0.shape
     shapes = []
     for lvl in range(levels):
@@ -168,9 +179,11 @@ def farneback_flow(img0: jnp.ndarray, img1: jnp.ndarray, levels: int = 5,
             fx = resize_bilinear(flow[..., 0], (hh, ww)) * sx
             fy = resize_bilinear(flow[..., 1], (hh, ww)) * sy
             flow = jnp.stack([fx, fy], axis=-1)
+        rx = max(4, min(max_flow_x, int(np.ceil(max_flow_x * ww / w)) + 2))
+        ry = max(4, min(max_flow_y, int(np.ceil(max_flow_y * hh / h)) + 2))
         A0, b0 = poly_expand(i0)
         for _ in range(iters):
-            i1w = _warp(i1, flow)
+            i1w = _warp(i1, flow, rx=rx, ry=ry)
             A1, b1 = poly_expand(i1w)
             flow = _flow_update(A0, b0, A1, b1, flow, win)
     return flow

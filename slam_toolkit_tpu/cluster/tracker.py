@@ -51,6 +51,8 @@ class DenseConfig(NamedTuple):
     block_size: int = 19
     flow_levels: int = 5
     flow_win: int = 13
+    max_flow_x: int = 64               # full-res flow bound [px] — the
+    max_flow_y: int = 24               # warp saturates beyond (flow.py)
     sample_stride: int = 5
     min_disparity: float = 2.0
     max_disparity: float = 50.0
@@ -122,6 +124,18 @@ def _window_cells(cam: CameraConfig, cfg: "DenseConfig") -> int:
     c3d = int(np.ceil(cam.fx * cfg.cluster_radius_3d
                       / (z_min * cfg.sample_stride)))
     cpx = int(np.ceil(cfg.ground_radius_px / cfg.sample_stride))
+    if max(c3d, cpx) > cfg.max_window_cells:
+        # the cap binds: _grid_cc still connects through intermediate
+        # samples, but _grid_absorb has NO such fallback — 3D-close,
+        # pixel-distant points are silently not adopted. Defaults give
+        # wc=10 < 12 on KITTI; non-default fx/stride/max_disparity can
+        # cross it, so make the accuracy tradeoff visible (r4 advisor).
+        import sys
+        sys.stderr.write(
+            f"[cluster] window stencil capped: need {max(c3d, cpx)} "
+            f"cells (c3d={c3d}, cpx={cpx}) > max_window_cells="
+            f"{cfg.max_window_cells}; 3D absorption may miss "
+            f"pixel-distant neighbors\n")
     return min(max(c3d, cpx, 1), cfg.max_window_cells)
 
 
@@ -247,7 +261,9 @@ def dense_frame(gray_l: jnp.ndarray, gray_r: jnp.ndarray,
     depth = jnp.where(disp > 0, cam.fx * cam.baseline
                       / jnp.maximum(disp, 1e-3), 0.0)
     flw = flow_mod.farneback_flow(prev_gray, gray_l,
-                                  levels=cfg.flow_levels, win=cfg.flow_win)
+                                  levels=cfg.flow_levels, win=cfg.flow_win,
+                                  max_flow_x=cfg.max_flow_x,
+                                  max_flow_y=cfg.max_flow_y)
     mag = jnp.linalg.norm(flw, axis=-1)
     p95 = jnp.percentile(mag.reshape(-1), 95.0)
 

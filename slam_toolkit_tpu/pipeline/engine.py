@@ -74,7 +74,12 @@ class SlamEngine:
         # ref src/loopcloser.cpp:195-208)
         self._traj_anchor: List[tuple] = []
         self.frame_stats: List[dict] = []
-        self.loop_events: List[dict] = []
+        self._loop_events: List[dict] = []
+        # events whose T_cand_pre is still an async-copied device row —
+        # materialized to a list on the next loop_events read (the
+        # eager per-closure kf_T_cw readback blocked the mapping worker
+        # while holding the scan engine's loop lock; r4 advisor)
+        self._lazy_events: List[dict] = []
         if vocab is not None:
             from slam_toolkit_tpu.loop.detector import ConsistencyTracker
             from slam_toolkit_tpu.loop import vocab as vocab_mod
@@ -101,6 +106,22 @@ class SlamEngine:
             self._compiled_tiers: set = set()
             self._tier_thread = None
         self._compile()
+
+    @property
+    def loop_events(self) -> List[dict]:
+        """Structured closure/reloc event log. Materializes any pending
+        device-resident diagnostics (async-copied at closure time) on
+        first read — consumers see plain lists, json-serializable."""
+        if self._lazy_events:
+            for e in self._lazy_events:
+                e["T_cand_pre"] = np.asarray(e["T_cand_pre"]).tolist()
+            self._lazy_events = []
+        return self._loop_events
+
+    @loop_events.setter
+    def loop_events(self, v) -> None:        # checkpoint restore
+        self._loop_events = list(v)
+        self._lazy_events = []
 
     # ----- jitted programs -------------------------------------------------
     def _compile(self):
@@ -292,6 +313,16 @@ class SlamEngine:
 
             self._reloc_fn = _reloc
 
+            @jax.jit
+            def _kf_row(T_all, idx):
+                # dynamic-index row gather: indexing kf_T_cw with a
+                # python int compiles a one-off program per distinct
+                # slot (~0.8 s each through the compile relay); a traced
+                # index is one compile total
+                return T_all[idx]
+
+            self._kf_row = _kf_row
+
             @functools.partial(jax.jit, static_argnums=12)
             def _close(m, cur, cand, T_loop, ci, cj, cT, cv, cw, k, scale,
                        q, tier):
@@ -400,20 +431,22 @@ class SlamEngine:
 
             @functools.partial(jax.jit, donate_argnums=1)
             def _bow_register_only(m, bow_db, slots, valid):
-                """Registration-only pass for keyframe rows beyond the
+                """Register-and-score pass for keyframe rows beyond the
                 first BOW_ROWS of a chunk (rare overflow path; host
                 dispatches it from scan_engine._loop_phase1 when the
-                packed readback shows >BOW_ROWS keyframes). Without it
-                the cap left overflow keyframes with all-zero DENSE BoW
-                rows forever — a zero row scores 1 - 0.5*|q|_1 = 0.5
-                against every L1-normalized query, far above
-                min_score_floor, so the unregistered keyframe became a
-                persistent false loop/reloc candidate whose inflated
-                accScore group could suppress genuine candidates (r3
-                advisor, medium). Detection for overflow rows is still
-                skipped (bounded staleness, logged); registration is
-                not. The common path (<=BOW_ROWS keyframes/chunk) never
-                dispatches this."""
+                packed readback shows >BOW_ROWS keyframes). Without
+                registration the cap left overflow keyframes with
+                all-zero DENSE BoW rows forever — a zero row scores
+                1 - 0.5*|q|_1 = 0.5 against every L1-normalized query,
+                far above min_score_floor, so the unregistered keyframe
+                became a persistent false loop/reloc candidate whose
+                inflated accScore group could suppress genuine
+                candidates (r3 advisor, medium). The returned scores
+                feed the overflow rows through the SAME detection path
+                as the capped rows (r4 verdict #6 — the reference
+                detects on every keyframe, ref src/loopdetector.cpp:
+                38-154); the common path (<=BOW_ROWS keyframes/chunk)
+                never dispatches this."""
                 def bv(s):
                     desc = m.kf_desc[s].reshape(-1, 8)
                     return vocab_mod.bow_query(voc, desc,
@@ -422,7 +455,11 @@ class SlamEngine:
                 qs = jax.vmap(bv)(slots)
                 F = (bow_db.words if sparse else bow_db).shape[0]
                 safe = jnp.where(valid, slots, F)
-                return vocab_mod.db_set(bow_db, safe, qs)
+                db = vocab_mod.db_set(bow_db, safe, qs)
+                sc = jax.vmap(
+                    lambda q, s: det_mod.score_query(m, db, q, s, cfg.loop)
+                )(qs, slots)
+                return db, sc
 
             @jax.jit
             def _seam_ba(m, cur, cand):
@@ -824,8 +861,17 @@ class SlamEngine:
         tier = self._close_tier()
         self._ensure_tier(tier)
         # pre-correction candidate pose for the seam-dissection record
-        # below (must be read BEFORE the close program reassigns map)
-        T_cand_pre = np.asarray(self.map.kf_T_cw)[cand]
+        # below (must be DISPATCHED before the close program reassigns
+        # map). Async row copy, materialized lazily at the next
+        # loop_events read — the old synchronous full-kf_T_cw readback
+        # ran on every closure while the mapping worker held the scan
+        # engine's loop lock, stalling the main thread's next chunk
+        # dispatch for the readback duration (r4 advisor)
+        T_cand_pre = self._kf_row(self.map.kf_T_cw, jnp.int32(cand))
+        try:
+            T_cand_pre.copy_to_host_async()
+        except Exception:       # non-jax arrays in tests
+            pass
         corr_m = None
         if self.cfg.loop.seam_ba:
             # closure-correction magnitude at the current keyframe
@@ -855,17 +901,18 @@ class SlamEngine:
         self._last_closure_nkf = self.n_keyframes
         self._closed_pairs.append((fid, fid_cand, n_new))
         self.consistency.reset()
-        self.loop_events.append(
-            {"frame": fid, "kf_slot": slot, "cand": cand,
-             "inliers": n_new, "fid_cand": fid_cand,
-             # raw measurement diagnostics (seam dissection): the
-             # re-tracked current-keyframe pose in the candidate side's
-             # PRE-correction world, and that pre-correction candidate
-             # pose — lets an evaluator with GT compute the loop edge's
-             # own error separately from the graph residual. One ~64 KB
-             # readback per closure, off the fold path (mapping worker).
-             "T_meas": np.asarray(rel.T_cw).tolist(),
-             "T_cand_pre": T_cand_pre.tolist()})
+        ev = {"frame": fid, "kf_slot": slot, "cand": cand,
+              "inliers": n_new, "fid_cand": fid_cand,
+              # raw measurement diagnostics (seam dissection): the
+              # re-tracked current-keyframe pose in the candidate side's
+              # PRE-correction world, and that pre-correction candidate
+              # pose — lets an evaluator with GT compute the loop edge's
+              # own error separately from the graph residual. T_cand_pre
+              # stays a device row until loop_events is read.
+              "T_meas": np.asarray(rel.T_cw).tolist(),
+              "T_cand_pre": T_cand_pre}
+        self._loop_events.append(ev)
+        self._lazy_events.append(ev)
 
     def _consume_scores(self, slot: int, cand_mask: np.ndarray,
                         scores: np.ndarray, covis_of: Optional[dict] = None,

@@ -280,9 +280,6 @@ class ChunkedSlamEngine:
         # chunk — the same staleness the reference's mapping thread has.
         self._pending: List[dict] = []
         self._queue_depth = int(os.environ.get("SLAM_QUEUE_DEPTH", "2"))
-        # queued loop-score entries, 1:1 with _pending chunks: dispatched
-        # with the chunk, consumed when it folds (see _loop_dispatch)
-        self._loop_queue: List[dict] = []
         # phase-1 detections awaiting their covis prefetch (consumed one
         # fold later by _loop_phase2)
         self._loop_stash: List[dict] = []
@@ -344,6 +341,15 @@ class ChunkedSlamEngine:
         # syncs stay off the lock path via the is_ready aging in
         # _finish_pending_closures. SLAM_LOOP_THREAD=0 restores the
         # inline (deterministic) order for debugging.
+        #
+        # SINGLE-WRITER INVARIANT (r4 advisor): the plain host counters
+        # h.frame_id / h.n_keyframes / _kf_fid_host / frame_stats are
+        # written by the MAIN thread only (_fold_one, lock-free) and
+        # only READ by the worker (closure cooldown gate, closure dedup)
+        # — scalar/ndarray-cell reads that are each individually atomic
+        # under the GIL. A worker that ever WRITES one of these fields
+        # must first take _loop_lock AND _fold_one must start locking
+        # its mutation block; don't add such a write casually.
         self._loop_lock = threading.RLock()
         self._loop_thread_on = (vocab is not None and
                                 os.environ.get("SLAM_LOOP_THREAD", "1")
@@ -477,14 +483,19 @@ class ChunkedSlamEngine:
             else self._carry()
         carry, packed = self._chunk(carry_in, imgs)
         self._carry_cache = carry
+        sc_entry = None
         if self.vocab is not None:
-            # enqueue this chunk's BoW registration + scoring NOW (it
+            # dispatch this chunk's BoW registration + scoring NOW (it
             # reads keyframe slots from the packed DEVICE output — no
             # host data needed). By the time this chunk is folded, two
             # more chunks of device time have passed, so the score
             # readback in _loop_phase1 is a cheap sync instead of
-            # blocking on in-flight chunks.
-            self._loop_dispatch(carry.m, packed)
+            # blocking on in-flight chunks. The entry rides in the
+            # chunk's OWN pending dict so fold-order perturbations (the
+            # reloc drain's reentrant _fold_one) can never pair a
+            # chunk's packed rows with another chunk's scores (r4
+            # advisor, medium).
+            sc_entry = self._loop_dispatch(carry.m, packed)
         # start the device->host copy of the packed per-frame outputs
         # NOW: by the time this chunk is folded (queue_depth dispatches
         # later) the bytes are already host-side, so _fold_one's
@@ -505,6 +516,7 @@ class ChunkedSlamEngine:
             h._kf_img, h._kf_ab = carry.kf_img, carry.kf_ab
         self._pending.append({"packed": packed, "t0": t0,
                               "n": int(imgs.shape[0]),
+                              "sc": sc_entry,
                               # last stereo pair, kept on device for a
                               # possible fold-time relocalization (no
                               # copy — chunk images are never donated)
@@ -611,15 +623,13 @@ class ChunkedSlamEngine:
             base_fid = h.frame_id - len(packed_np)
             if self._loop_thread_on:
                 self._loop_jobs.put(("p2", ()))
-                if self._loop_queue:
-                    self._loop_jobs.put(
-                        ("p1", (self._loop_queue.pop(0), packed_np,
-                                base_fid)))
+                if p["sc"] is not None:
+                    self._loop_jobs.put(("p1", (p["sc"], packed_np,
+                                                base_fid)))
             else:
                 self._loop_phase2()
-                if self._loop_queue:
-                    self._loop_phase1(self._loop_queue.pop(0), packed_np,
-                                      base_fid)
+                if p["sc"] is not None:
+                    self._loop_phase1(p["sc"], packed_np, base_fid)
             if n_new_kf:
                 self._host._precompile_tiers_async()
         return packed_np
@@ -710,14 +720,16 @@ class ChunkedSlamEngine:
         bow_db.at[slot].set, one _loop_score dispatch each) compiled a
         fresh remote program per distinct slot and paid a relay
         round-trip per keyframe — it dominated loop-mode wall time
-        (scripts/profile_loop_stages.py)."""
+        (scripts/profile_loop_stages.py). Returns the score entry; the
+        caller stores it in the chunk's _pending dict (structural
+        chunk<->score pairing, r4 advisor medium)."""
         h = self._host
         h.bow_db, sc = h._bow_register(map_dev, h.bow_db, packed_dev)
         try:
             jax.tree_util.tree_map(lambda x: x.copy_to_host_async(), sc)
         except Exception:       # non-jax arrays in tests
             pass
-        self._loop_queue.append({"sc": sc})
+        return {"sc": sc}
 
     def _loop_phase1(self, entry: dict, packed_np: np.ndarray,
                      base_fid: Optional[int] = None) -> None:
@@ -739,34 +751,45 @@ class ChunkedSlamEngine:
         kf_rows = np.flatnonzero(packed_np[:, 34] > 0.5)
         if len(kf_rows) == 0:
             return
+        # sc rows are the chunk's keyframe rows in ascending order —
+        # the top_k priority in _bow_register guarantees exactly this
+        n_cap = min(len(kf_rows), BOW_ROWS)
+        cand_np = np.asarray(entry["sc"].candidates)[:n_cap]
+        scores_np = np.asarray(entry["sc"].scores)[:n_cap]
         if len(kf_rows) > BOW_ROWS:
-            # the batched register/score program caps DETECTION at
-            # BOW_ROWS keyframes per chunk (engine._bow_register) —
-            # bounded staleness, logged. REGISTRATION must still cover
-            # every keyframe: an unregistered dense BoW row is all-zero
-            # and scores 0.5 against every normalized query, making the
-            # keyframe a persistent false loop/reloc candidate (r3
-            # advisor, medium). Register the overflow rows now in
-            # fixed-shape BOW_ROWS batches (rare path; no recompiles).
+            # the batched register/score program processes the first
+            # BOW_ROWS keyframes per chunk (engine._bow_register).
+            # Overflow rows are registered AND scored here in
+            # fixed-shape batches (rare path; no recompiles) and feed
+            # the same detection flow below — the reference detects on
+            # EVERY keyframe (ref src/loopdetector.cpp:38-154); the
+            # old registration-only fallback silently skipped detection
+            # for keyframes 5+ of a chunk (r4 verdict #6). Registration
+            # itself is mandatory regardless: an unregistered dense BoW
+            # row is all-zero and scores 0.5 against every normalized
+            # query, a persistent false loop/reloc candidate (r3
+            # advisor, medium). The np.asarray reads are synchronous —
+            # acceptable on a path the ~1-KF-per-5-frames decay rule
+            # almost never takes.
             extra = packed_np[kf_rows[BOW_ROWS:], 32].astype(np.int32)
+            ex_c, ex_s = [], []
             for j in range(0, len(extra), BOW_ROWS):
                 batch = extra[j:j + BOW_ROWS]
                 pad = np.zeros(BOW_ROWS, np.int32)
                 pad[:len(batch)] = batch
                 vmask = np.zeros(BOW_ROWS, bool)
                 vmask[:len(batch)] = True
-                h.bow_db = h._bow_register_only(
+                h.bow_db, sc2 = h._bow_register_only(
                     h.map, h.bow_db, jnp.asarray(pad),
                     jnp.asarray(vmask))
+                ex_c.append(np.asarray(sc2.candidates)[:len(batch)])
+                ex_s.append(np.asarray(sc2.scores)[:len(batch)])
+            cand_np = np.concatenate([cand_np] + ex_c, axis=0)
+            scores_np = np.concatenate([scores_np] + ex_s, axis=0)
             sys.stderr.write(f"[loop] chunk with {len(kf_rows)} "
-                             f"keyframes; detection capped at "
-                             f"{BOW_ROWS} (overflow rows registered)\n")
-            kf_rows = kf_rows[:BOW_ROWS]
+                             f"keyframes; {len(extra)} overflow rows "
+                             f"registered + scored synchronously\n")
         slots = packed_np[kf_rows, 32].astype(np.int32)
-        # sc rows are the chunk's keyframe rows in ascending order —
-        # the top_k priority in _bow_register guarantees exactly this
-        cand_np = np.asarray(entry["sc"].candidates)[:len(kf_rows)]
-        scores_np = np.asarray(entry["sc"].scores)[:len(kf_rows)]
         covis_dev, cand_all = None, None
         spec = {}
         if h.n_keyframes >= 3:

@@ -54,12 +54,16 @@ def test_carry_frame_id_includes_inflight():
 
 
 @pytest.mark.slow
-def test_bow_overflow_rows_still_registered():
-    """A chunk with more than BOW_ROWS keyframes caps DETECTION only:
-    every keyframe row must still be REGISTERED in the BoW database —
-    an unregistered dense row is all-zero and scores 0.5 against every
-    normalized query, a persistent false loop candidate (r3 advisor,
-    medium)."""
+def test_bow_overflow_rows_register_and_detect():
+    """A chunk with more than BOW_ROWS keyframes must still REGISTER
+    every keyframe row in the BoW database (an unregistered dense row
+    is all-zero and scores 0.5 against every normalized query, a
+    persistent false loop candidate — r3 advisor, medium) AND run
+    DETECTION on the overflow rows (the reference detects on every
+    keyframe, ref src/loopdetector.cpp:38-154 — r4 verdict #6: before
+    the fix, keyframe 5+ of a chunk silently skipped its own detection
+    round, so a closure whose candidate keyframe landed there never
+    fired)."""
     import jax.numpy as jnp
     from slam_toolkit_tpu.loop import vocab as V
     from slam_toolkit_tpu.pipeline.engine import BOW_ROWS
@@ -81,15 +85,37 @@ def test_bow_overflow_rows_still_registered():
     # wipe the db, then present ONE crafted chunk claiming `need`
     # keyframe rows — more than the BOW_ROWS detection cap
     h.bow_db = jnp.zeros_like(h.bow_db)
+    eng._loop_stash.clear()
     packed_np = np.zeros((8, PACK_WIDTH), np.float32)
     packed_np[:, 16:32] = np.eye(4, dtype=np.float32).reshape(-1)
     for i, s in enumerate(kf_slots[:need]):
         packed_np[i, 32] = s
         packed_np[i, 34] = 1.0
-    eng._loop_dispatch(h.map, jnp.asarray(packed_np))
-    entry = eng._loop_queue.pop()
+    entry = eng._loop_dispatch(h.map, jnp.asarray(packed_np))
     eng._loop_phase1(entry, packed_np)
     db = np.asarray(h.bow_db)
     for s in kf_slots[:need]:
         assert np.abs(db[s]).sum() > 0, \
             f"keyframe slot {s} left unregistered (all-zero BoW row)"
+    # detection must cover ALL rows of the chunk, including overflow
+    st = eng._loop_stash[-1]
+    assert len(st["slots"]) == need, \
+        f"stash covers {len(st['slots'])} of {need} keyframe rows"
+    assert st["cand_np"].shape[0] == need
+    assert st["scores_np"].shape[0] == need
+    # ...and phase2 must run _detect_accept on the overflow slots
+    seen = []
+    orig = h._detect_accept
+
+    def spy(slot, *a, **k):
+        seen.append(int(slot))
+        return orig(slot, *a, **k)
+
+    h._detect_accept = spy
+    try:
+        eng._loop_phase2()
+    finally:
+        h._detect_accept = orig
+    for s in kf_slots[BOW_ROWS:need]:
+        assert int(s) in seen, \
+            f"overflow keyframe slot {int(s)} never reached detection"

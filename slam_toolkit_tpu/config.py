@@ -128,9 +128,22 @@ class TrackerConfig:
     # 8-point-pattern alignment against the latest keyframe image with
     # affine brightness, the reference's BrightenDirectPoseTracker
     # (src/posetracker.cpp:250-353) actually wired into the engine here.
+    # "hybrid" = indirect seed + a short full-resolution photometric
+    # polish against the anchor keyframe (r4 verdict #5: the
+    # configuration where photometric refinement can pay at KITTI
+    # baselines — the full direct method's convergence basin cannot
+    # absorb 0.8 m/frame, but a seeded polish starts inside the basin)
     method: str = "indirect"
     direct_bind_px: float = 5.0       # post-hoc keypoint binding radius
     #                                   (ref src/posetracker.cpp:278-317)
+    hybrid_iters: int = 3             # photometric LM iterations of the
+    #                                   hybrid polish (finest level only)
+    hybrid_max_shift_m: float = 0.3   # reject a polish that moves the
+    #                                   camera center further than this:
+    #                                   sub-pixel refinement moves
+    #                                   centimeters; a large move means
+    #                                   the photometric model disagreed
+    #                                   (occlusion / brightness break)
     min_matches: int = 8              # retry / accept thresholds
     reprojection_px: float = 10.0     # outlier filter (ReprojectionFilter)
     huber_delta: float = 2.4477468    # sqrt(5.991), on sigma-normalized residual
@@ -240,6 +253,19 @@ class LoopConfig:
     #                                   split): far stereo depths are
     #                                   biased and slide the pose along
     #                                   the rot/trans ambiguity valley
+    relpose_near_min: int = 40        # near matches required before the
+    #                                   depth gate engages — decoupled
+    #                                   from min_matches (acceptance):
+    #                                   a handful of near points pins
+    #                                   translation better than 100 far
+    #                                   ones (r5 sweep knob)
+    relpose_rt_rounds: int = 0        # >0: decoupled rotation/translation
+    #                                   polish after the joint LM
+    #                                   (closer._decoupled_rt_refine) —
+    #                                   breaks the yaw/lateral valley the
+    #                                   r4/r5 seam dissections measured
+    #                                   (1.5 m lateral edge error at
+    #                                   1.03 deg through 122 inliers)
     reloc_lost_streak: int = 6        # chunked engine: consecutive lost
     #                                   frames (packed ok=0) before a
     #                                   fold-time BoW relocalization is

@@ -337,6 +337,50 @@ class ClusterScene(NamedTuple):
     frames: list                 # [(left, right)] float32 (H, W)
     mover_boxes: list            # per frame: [(x, y, size, disp)]
     cam: "CameraConfig"
+    # analytic ground truth (r5: BENCH_CLUSTER quality gates; None for
+    # scenes built before these fields existed)
+    band_rows: int = 0           # rows per disparity band
+    band_disps: list = None      # per-band disparity [px]
+    band_shift: list = None      # per frame: per-band texture shift [px]
+
+
+def cluster_scene_gt(scene: ClusterScene, t: int):
+    """Exact (disparity (H, W), flow_from_prev (H, W, 2), valid (H, W))
+    for frame t of a make_cluster_scene scene. Disparity: band value
+    with mover boxes overriding. Flow t-1 -> t: background moves
+    -(shift_t - shift_{t-1}) px in x per band; mover pixels move
+    (0, y_t - y_{t-1}). `valid` excludes a margin around band and box
+    boundaries (mixed-content pixels where block matching/flow windows
+    straddle two motions)."""
+    H, W = scene.frames[0][0].shape
+    # band margin: the 19-px stereo block / 13-px flow window half-width
+    # (windows straddling a boundary mix two motions); box margin is
+    # wider because the boxes also occlude background during motion
+    margin, bmargin = 12, 10
+    disp = np.zeros((H, W), np.float32)
+    flow = np.zeros((H, W, 2), np.float32)
+    valid = np.ones((H, W), bool)
+    br = scene.band_rows
+    n_bands = len(scene.band_disps)
+    for b in range(n_bands):
+        r0, r1 = b * br, min((b + 1) * br, H)
+        disp[r0:r1] = scene.band_disps[b]
+        flow[r0:r1, :, 0] = -(scene.band_shift[t][b]
+                              - scene.band_shift[t - 1][b])
+        # band boundaries mix two disparities/motions in any window
+        valid[max(r0 - bmargin, 0):min(r0 + bmargin, H)] = False
+    for (x, y, s, d), (xp, yp, _, _) in zip(scene.mover_boxes[t],
+                                            scene.mover_boxes[t - 1]):
+        disp[y:y + s, x:x + s] = d
+        flow[y:y + s, x:x + s, 0] = 0.0
+        flow[y:y + s, x:x + s, 1] = y - yp
+        valid[max(y - margin, 0):y + s + margin,
+              max(x - margin, 0):x + s + margin] = False
+        valid[y + margin:y + s - margin,
+              x + margin:x + s - margin] = True
+    valid[:margin] = valid[-margin:] = False
+    valid[:, :margin] = valid[:, -margin:] = False
+    return disp, flow, valid
 
 
 def make_cluster_scene(n_frames: int = 50, height: int = 376,
@@ -380,13 +424,14 @@ def make_cluster_scene(n_frames: int = 50, height: int = 376,
     mdy = [0.0, 0.8, -0.8][:n_movers] + [0.6] * max(0, n_movers - 3)
     y_max = H - msize - 1
 
-    frames, boxes = [], []
+    frames, boxes, shifts = [], [], []
     for t in range(n_frames):
         left = np.empty((H, W), np.float32)
         right = np.empty((H, W), np.float32)
+        shifts.append([int(round(rate[b] * t)) for b in range(n_bands)])
         for b in range(n_bands):
             r0, r1 = b * band_rows, min((b + 1) * band_rows, H)
-            s = int(round(rate[b] * t))
+            s = shifts[-1][b]
             left[r0:r1] = tex[r0:r1, s:s + W]
             right[r0:r1] = tex[r0:r1, s + disps[b]:s + disps[b] + W]
         fb = []
@@ -399,4 +444,6 @@ def make_cluster_scene(n_frames: int = 50, height: int = 376,
             fb.append((x, y, msize, mdisp[i]))
         frames.append((left, right))
         boxes.append(fb)
-    return ClusterScene(frames=frames, mover_boxes=boxes, cam=cam)
+    return ClusterScene(frames=frames, mover_boxes=boxes, cam=cam,
+                        band_rows=band_rows, band_disps=list(disps),
+                        band_shift=shifts)

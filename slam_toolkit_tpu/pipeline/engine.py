@@ -665,6 +665,10 @@ class SlamEngine:
         outs = [self._covis(self.map, jnp.zeros((8,), jnp.int32)),
                 self._covis(self.map, jnp.zeros((16,), jnp.int32))]
         outs.append(self._relpose(self.map, z, z))
+        # the closure diagnostic's row gather (r5): left out of warmup
+        # it compiled at the FIRST closure — ~10 s through the remote
+        # compile relay, measured as 24 fps on a whole loop-mode run
+        outs.append(self._kf_row(self.map.kf_T_cw, z))
         if self.cfg.loop.seam_ba:
             outs.append(self._seam_ba(empty_map(self.cfg), z, z))
         jax.block_until_ready(outs)

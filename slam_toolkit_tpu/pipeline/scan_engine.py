@@ -928,7 +928,8 @@ class ChunkedSlamEngine:
                     sys.stderr.write(
                         f"[fin] fid={pc['fid']} slot={pc['slot']} "
                         f"cand={cand} ok={bool(np.asarray(rel.ok))} "
-                        f"inl={int(rel.n_inliers)}\n")
+                        f"inl={int(rel.n_inliers)} "
+                        f"near={int(np.asarray(rel.n_near))}\n")
                 if not bool(np.asarray(rel.ok)):
                     continue
                 fid_cand = int(self._kf_fid_host[cand])

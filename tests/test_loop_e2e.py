@@ -442,3 +442,49 @@ def test_figure_eight_multiple_closures():
         f"final-pass seam degraded: {s_closed} vs open {s_open}"
     assert max(s_closed) < 2.5 * max(s_open), \
         f"closures blew up a seam: {s_closed} vs open {s_open}"
+
+
+def test_decoupled_rt_refine_breaks_ambiguity_valley():
+    """closer._decoupled_rt_refine must recover a pose perturbed along
+    the yaw/lateral-translation valley — the failure mode the r4/r5
+    bench seam dissections measured (1.5 m lateral loop-edge error at
+    1.03 deg passing 122 reprojection inliers): with most landmarks at
+    similar far depth, yaw and lateral translation compensate and the
+    joint solve stalls in the valley. Rotation is depth-free and
+    translation is near-point-dominated, so the alternating solve must
+    escape."""
+    from slam_toolkit_tpu.loop.closer import _decoupled_rt_refine
+
+    rng = np.random.default_rng(3)
+    n_far, n_near = 200, 40
+    z_far = rng.uniform(40.0, 80.0, n_far)
+    z_near = rng.uniform(5.0, 15.0, n_near)
+    z = np.concatenate([z_far, z_near])
+    x = rng.uniform(-0.5, 0.5, z.size) * z
+    y = rng.uniform(-0.2, 0.2, z.size) * z
+    Xw = jnp.asarray(np.stack([x, y, z], -1), jnp.float32)
+    near = jnp.asarray(z < 21.0)
+    baseline = 0.5
+    z_norm = Xw[:, :2] / Xw[:, 2:3]
+    z_r = (Xw[:, 0] - baseline) / Xw[:, 2]
+    use = jnp.ones((z.size,), bool)
+    inv_sig = jnp.ones((z.size,), jnp.float32)
+    stereo = (z_r, near.astype(jnp.float32), baseline)  # stereo on near
+
+    # perturb along the valley: yaw theta with compensating lateral
+    # shift -z_mid * theta keeps far-point residuals tiny
+    theta = np.radians(1.0)
+    z_mid = 55.0
+    T0 = np.eye(4, dtype=np.float32)
+    c, s = np.cos(theta), np.sin(theta)
+    T0[:3, :3] = np.asarray([[c, 0, s], [0, 1, 0], [-s, 0, c]],
+                            np.float32)
+    T0[0, 3] = -z_mid * theta
+    T = np.asarray(_decoupled_rt_refine(
+        jnp.asarray(T0), Xw, z_norm, inv_sig, use, near, stereo,
+        huber_delta=0.1, rounds=3))
+    t_err = float(np.linalg.norm(T[:3, 3]))
+    ang = np.degrees(np.arccos(np.clip((np.trace(T[:3, :3]) - 1) / 2,
+                                       -1, 1)))
+    assert t_err < 0.08, f"translation error {t_err:.3f} m (was 0.96)"
+    assert ang < 0.1, f"rotation error {ang:.3f} deg (was 1.0)"

@@ -223,3 +223,66 @@ def test_orbvoc_scale_topw_runtime():
     s[40] = -1.0
     assert s.argmax() == 8, (s.argmax(), s[8], np.sort(s)[-3:])
     assert s[8] > 2 * np.delete(s, [8, 40]).max()
+
+
+@pytest.mark.slow
+def test_orbvoc_full_scale_1m():
+    """The reference's ACTUAL startup configuration: k=10, L=6 = 1M
+    words / 1,111,111 nodes, loaded at every run (ref
+    src/pipeline.cpp:60-67, TemplatedVocabulary.h:1338-1398). Runs the
+    full sparse query -> register -> score path at that scale
+    (r3 task #5 / r4 verdict #2) and checks the two properties the
+    runtime depends on: (a) quantization robustness — a descriptor
+    with a few flipped bits usually lands in the same word, (b)
+    revisit discrimination through the top-w database."""
+    rng = np.random.default_rng(7)
+    voc = V.synthesize(k=10, levels=6, seed=0,
+                       corpus=rand_desc(rng, 20_000))
+    assert voc.num_words == 10 ** 6
+    assert voc.nodes.shape[0] == 1_111_111
+
+    import jax
+    K, w, F = 256, 500, 24
+    q_fn = jax.jit(lambda d: V.bow_query(voc, d, jnp.ones(K, bool),
+                                         sparse=True, top_w=w))
+
+    # (a) quantization robustness under small descriptor noise
+    d0 = rand_desc(rng, K)
+    # flip ~4 random bits per 256-bit descriptor
+    keep = rng.random((K, 256)) < (4 / 256.0)
+    mask = np.packbits(keep, axis=-1).view(np.uint32)
+    d1 = d0 ^ mask
+    w0 = np.asarray(V.descriptor_words(voc, jnp.asarray(d0),
+                                       jnp.ones(K, bool)))
+    w1 = np.asarray(V.descriptor_words(voc, jnp.asarray(d1),
+                                       jnp.ones(K, bool)))
+    same = float((w0 == w1).mean())
+    # per-level argmin-gap flips bound this ~independently of the tree's
+    # construction (see synthesize's docstring); what detection needs is
+    # the RELATIVE margin asserted in (b), not per-word determinism
+    assert same > 0.3, f"word stability {same:.2f} under 4-bit noise"
+
+    # (b) revisit discrimination at F=24 frames: an exact revisit, a
+    # 90%-shared revisit, and a NOISY revisit (4 flipped bits on every
+    # descriptor — the viewpoint-change regime) must all out-score
+    # unrelated frames by a wide margin
+    db = V.make_bow_db(voc, F, sparse=True, top_w=w)
+    base = rand_desc(rng, K)
+    for i in range(F):
+        d = rand_desc(rng, K)
+        if i == 20:
+            d[:int(K * 0.9)] = base[:int(K * 0.9)]
+        if i == 4:
+            d = base.copy()
+        if i == 11:
+            d = d1.copy()                   # noisy copy of d0 (below)
+        db = V.db_set(db, jnp.int32(i), q_fn(jnp.asarray(d)))
+    q = q_fn(jnp.asarray(base))
+    s = np.array(V.bow_score(q, db))
+    order = np.argsort(-s)
+    assert order[0] == 4 and order[1] == 20, (order[:3], s[order[:3]])
+    assert s[4] > 0.98                      # exact revisit ~ 1.0
+    assert s[20] > 5 * np.delete(s, [4, 11, 20]).max()
+    s_noisy = np.array(V.bow_score(q_fn(jnp.asarray(d0)), db))
+    unrelated = np.delete(s_noisy, [11]).max()
+    assert s_noisy[11] > 10 * unrelated, (s_noisy[11], unrelated)

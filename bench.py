@@ -54,13 +54,26 @@ def main_loop():
     chunk = int(os.environ.get("BENCH_CHUNK", "16"))
     n = int(os.environ.get("BENCH_FRAMES", "320"))
     step = 0.8
-    lap = (n * 17 // 20) // chunk * chunk   # close the track at ~85%,
-    revisit = n - lap                        # then re-drive the start
-    extent = lap * step / 4.0                # rough track half-extent
+    # BENCH_LOOP_TRACK=fig8: figure-eight — TWO distinct closures (each
+    # lobe closes at the shared junction), the second landing AFTER the
+    # first correction, plus a final pass over lobe 1's start
+    # (r4 verdict #3: multi-closure had never touched the TPU; ref
+    # closed-loop replay ring src/loopcloser.cpp:160-191)
+    track_kind = os.environ.get("BENCH_LOOP_TRACK", "clothoid")
+    if track_kind == "fig8":
+        lobe = (n - 2 * chunk) // 3 // chunk * chunk
+        revisit = n - 3 * lobe
+        lap = 3 * lobe                       # final pass starts here
+        extent = lobe * step / 3.0
+    else:
+        lap = (n * 17 // 20) // chunk * chunk   # close the track at ~85%,
+        revisit = n - lap                        # then re-drive the start
+        extent = lap * step / 4.0                # rough track half-extent
 
     t_setup = time.perf_counter()
-    cache = (f"/tmp/slam_loop_seq_v2_{n}_{cfg.camera.width}x"
-             f"{cfg.camera.height}")
+    cache = (f"/tmp/slam_loop_seq_v2_"
+             f"{track_kind + '_' if track_kind != 'clothoid' else ''}"
+             f"{n}_{cfg.camera.width}x{cfg.camera.height}")
     if os.path.exists(cache + ".npy"):
         stacked = np.load(cache + ".npy", mmap_mode="r")
         gt = list(np.load(cache + ".gt.npy"))
@@ -75,8 +88,14 @@ def main_loop():
         world = make_world(cfg, seed=7, half_width=extent + 12.0,
                            half_length=extent + 12.0, ground_y=1.6,
                            tex_size=2048, texels_per_m=12.0)
-        track = loop_track(lap, step=step)
-        gt = track + track[:revisit]
+        if track_kind == "fig8":
+            from slam_toolkit_tpu.data.synthetic import fig8_track
+            f8 = fig8_track(lobe, step=step)
+            lobe1, lobe2 = f8[:lobe], f8[lobe:]
+            gt = lobe1 + lobe1 + lobe2 + lobe1[:revisit]
+        else:
+            track = loop_track(lap, step=step)
+            gt = track + track[:revisit]
         frames = [render_stereo(world, T) for T in gt]
         stacked = np.stack([
             np.stack([np.clip(l, 0, 255), np.clip(r, 0, 255)])
@@ -149,6 +168,14 @@ def main_loop():
                         for T in traj])
     seam = float(np.mean(np.linalg.norm(
         centers[lap:lap + revisit] - centers[:revisit], axis=1)))
+    if track_kind == "fig8":
+        lobe = lap // 3
+        s_lap2 = float(np.mean(np.linalg.norm(
+            centers[lobe:2 * lobe:4] - centers[:lobe:4], axis=1)))
+        s_lobe2 = float(np.linalg.norm(centers[3 * lobe - 1] - centers[0]))
+        sys.stderr.write(f"[bench-loop] fig8 seams: lap2 {s_lap2:.3f} m, "
+                         f"lobe2-end {s_lobe2:.3f} m, final-pass "
+                         f"{seam:.3f} m\n")
     # seam DISSECTION (VERDICT r3 #3): where does the residual seam
     # error live? The per-revisit-index profile separates a constant
     # offset (bad loop edge / graph residual) from re-accumulating
@@ -172,10 +199,25 @@ def main_loop():
         f"end {drift_rel[-1]:.3f} m\n")
     closures = [e for e in eng.loop_events if "cand" in e]
     fps = n_timed / dt
+    # device-time accounting (r4 verdict #7): steady-state cost of ONE
+    # chunk with the pipeline drained after it — device execution plus
+    # a single relay round-trip (~3.4 ms through this environment's TCP
+    # relay), no overlap. The gap between blocked_ms/chunk and the
+    # pipelined wall/frame is what queue-depth-2 pipelining hides.
+    blocked = []
+    for c in chunks[:3]:
+        t0 = time.perf_counter()
+        eng.process_chunk(c)
+        eng.flush()
+        blocked.append((time.perf_counter() - t0) * 1000.0)
+    blocked_ms = min(blocked)
     sys.stderr.write(
         f"[bench-loop] {n_timed} frames in {dt:.2f}s, {fps:.1f} fps, "
         f"ATE {ate:.3f} m, seam {seam:.3f} m, closures {len(closures)}, "
-        f"replays {eng.n_replays}, keyframes {eng._host.n_keyframes}\n")
+        f"replays {eng.n_replays}, keyframes {eng._host.n_keyframes}; "
+        f"blocked chunk {blocked_ms:.1f} ms "
+        f"({blocked_ms / chunk:.2f} ms/frame device+RTT vs "
+        f"{1000.0 / fps:.2f} ms/frame pipelined)\n")
     for e in closures:
         brief = {k: v for k, v in e.items()
                  if k not in ("T_meas", "T_cand_pre")}
@@ -201,12 +243,23 @@ def main_loop():
                 f"{np.linalg.norm(D[:3, 3]):.3f} m / {ang:.2f} deg; "
                 f"in cand cam frame xyz=({t_cam[0]:+.2f}, {t_cam[1]:+.2f},"
                 f" {t_cam[2]:+.2f}) m\n")
-    print(json.dumps({
-        "metric": "kitti_scale_full_slam_loop_fps",
+    out = {
+        "metric": "kitti_scale_full_slam_loop_fps" + (
+            f"_{track_kind}" if track_kind != "clothoid" else ""),
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / 500.0, 4),
-    }))
+        "ate_m": round(ate, 3),
+        "seam_m": round(seam, 3),
+        "closures": len(closures),
+        "replays": eng.n_replays,
+        "blocked_chunk_ms": round(blocked_ms, 1),
+        "chunk": chunk,
+    }
+    if track_kind == "fig8":
+        out["seam_lap2_m"] = round(s_lap2, 3)
+        out["seam_lobe2_m"] = round(s_lobe2, 3)
+    print(json.dumps(out))
 
 
 def main_cluster():
@@ -290,11 +343,55 @@ def main_cluster():
     if not (persist and distinct):
         sys.stderr.write("[bench] FAIL: mover tracking unstable\n")
         sys.exit(1)
+
+    # ---- quality: disparity / flow accuracy vs analytic GT -----------
+    # (r4 verdict #4: mover-id persistence alone would pass a stereo or
+    # flow regression). Probe frames run the SAME jitted dense_frame
+    # the fused step traces, outside the timed window; the scene's GT
+    # is exact (data/synthetic.cluster_scene_gt, photometric error 0).
+    import jax.numpy as jnp
+    from slam_toolkit_tpu.cluster.tracker import dense_frame
+    from slam_toolkit_tpu.data.synthetic import cluster_scene_gt
+    import jax as _jax
+    dfj = _jax.jit(lambda a, b, p: dense_frame(a, b, p, scene.cam, cfg))
+    d_rmses, f_rmses = [], []
+    t_probe0 = time.perf_counter()
+    for t_probe in (10, n // 2, n - 2):
+        gl, gr = scene.frames[t_probe]
+        prev = scene.frames[t_probe - 1][0]
+        fr = dfj(jnp.asarray(gl), jnp.asarray(gr), jnp.asarray(prev))
+        disp = np.asarray(fr.disparity)
+        flow = np.asarray(fr.flow)
+        gt_d, gt_f, gt_v = cluster_scene_gt(scene, t_probe)
+        md = gt_v & (disp > 0)
+        d_rmses.append(float(np.sqrt(np.mean(
+            (disp[md] - gt_d[md]) ** 2))))
+        epe = np.linalg.norm(flow - gt_f, axis=-1)
+        f_rmses.append(float(np.sqrt(np.mean(epe[gt_v] ** 2))))
+    d_rmse, f_rmse = max(d_rmses), max(f_rmses)
+    # device-time accounting (r4 verdict #7): one blocked fused step
+    t0 = time.perf_counter()
+    _jax.block_until_ready(dfj(jnp.asarray(scene.frames[2][0]),
+                               jnp.asarray(scene.frames[2][1]),
+                               jnp.asarray(scene.frames[1][0])))
+    dense_ms = (time.perf_counter() - t0) * 1000.0
+    sys.stderr.write(
+        f"[bench] cluster quality: disparity RMSE {d_rmse:.2f} px, "
+        f"flow EPE RMSE {f_rmse:.2f} px (worst of 3 probe frames, "
+        f"{time.perf_counter() - t_probe0:.1f}s); blocked dense_frame "
+        f"{dense_ms:.1f} ms\n")
+    if d_rmse > 1.5 or f_rmse > 2.0:
+        sys.stderr.write("[bench] FAIL: disparity/flow accuracy "
+                         "regressed\n")
+        sys.exit(1)
     print(json.dumps({
         "metric": "kitti_scale_dense_cluster_fps",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / 10.0, 4),
+        "disp_rmse_px": round(d_rmse, 2),
+        "flow_rmse_px": round(f_rmse, 2),
+        "dense_frame_ms": round(dense_ms, 1),
     }))
 
 
@@ -549,6 +646,19 @@ def main():
         f"keyframes {n_kf}, "
         f"mappoints {int(eng.map.mp_valid.sum())}\n")
 
+    # device-time accounting (r4 verdict #7): one chunk, pipeline
+    # drained — device execution + one relay RTT, no overlap
+    blocked = []
+    for c in chunks[:3]:
+        t0 = time.perf_counter()
+        eng.process_chunk(c)
+        eng.flush()
+        blocked.append((time.perf_counter() - t0) * 1000.0)
+    blocked_ms = min(blocked)
+    sys.stderr.write(f"[bench] blocked chunk {blocked_ms:.1f} ms "
+                     f"({blocked_ms / chunk:.2f} ms/frame device+RTT vs "
+                     f"{1000.0 / fps:.2f} ms/frame pipelined)\n")
+
     method = os.environ.get("BENCH_METHOD", "")
     out = {
         "metric": "kitti_scale_track_lba_fps" + (f"_{method}" if method
@@ -558,6 +668,8 @@ def main():
         "vs_baseline": round(fps / 500.0, 4),
         "ate_m": round(ate, 3),
         "rpe_t_m": round(rpe_t, 4),
+        "blocked_chunk_ms": round(blocked_ms, 1),
+        "chunk": chunk,
     }
     if not method:      # sweep only for the headline indirect config
         sweep = _multi_seed_sweep(cfg, chunk, stacked, gt)

@@ -192,12 +192,7 @@ def _decoupled_rt_refine(T0: jnp.ndarray, Xw: jnp.ndarray,
             axis=-2)                                          # (N, 2, 3)
         if rot:
             # R <- exp(phi) R with t frozen: dXc/dphi = -[Xc - t]x
-            v = Xc - t
-            Sk = jnp.zeros((v.shape[0], 3, 3))
-            Sk = Sk.at[:, 0, 1].set(-v[:, 2]).at[:, 0, 2].set(v[:, 1])
-            Sk = Sk.at[:, 1, 0].set(v[:, 2]).at[:, 1, 2].set(-v[:, 0])
-            Sk = Sk.at[:, 2, 0].set(-v[:, 1]).at[:, 2, 1].set(v[:, 0])
-            J = -jnp.einsum('nij,njk->nik', Ju, Sk)
+            J = -jnp.einsum('nij,njk->nik', Ju, se3.hat(Xc - t))
         else:
             J = Ju
         H = jnp.einsum('n,nij,nik->jk', w, J, J)

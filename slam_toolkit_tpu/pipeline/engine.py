@@ -596,7 +596,7 @@ class SlamEngine:
                 raise RuntimeError(f"keyframe capacity {cap} exhausted "
                                    f"(nothing redundant to cull)")
         frame = self._stereo(frame, img_l, img_r)
-        if self.cfg.tracker.method == "direct":
+        if self.cfg.tracker.method in ("direct", "hybrid"):
             # the new keyframe becomes the photometric anchor; its (a, b)
             # are whatever tracking last estimated (bootstrap: 0, 0)
             self._kf_img = img_l if isinstance(img_l, jnp.ndarray) \

@@ -51,11 +51,15 @@ class ChunkCarry(NamedTuple):
     latest_T: jnp.ndarray      # (4, 4) pose of the latest keyframe
     frame_id: jnp.ndarray      # () int32
     inlier_peak: jnp.ndarray   # () f32 running max inliers since last KF
-    # photometric anchor (tracker.method == "direct" only; None — an
-    # empty pytree node — for the indirect method, so the indirect
+    # photometric anchor (tracker.method "direct"/"hybrid" only; None —
+    # an empty pytree node — for the indirect method, so the indirect
     # carry's shape and the vmapped mesh layouts are unchanged)
     kf_img: Optional[jnp.ndarray] = None   # (H, W) latest keyframe image
     kf_ab: Optional[jnp.ndarray] = None    # (2,) affine brightness (a, b)
+    # hybrid only: anchor pattern intensities per landmark (L, 8),
+    # hoisted to the keyframe event so the per-frame polish skips the
+    # reference_values pass
+    kf_refvals: Optional[jnp.ndarray] = None
 
 
 PACK_WIDTH = 16 + 16 + 4  # T, T_rel, [slot, ok, kf, n_inliers]
@@ -88,11 +92,13 @@ def make_frame_body(cfg: SlamConfig, cam: StereoCamera):
                        _os.environ.get("SLAM_SCAN_SKIP", "").split(",")))
     _force_kf = bool(_os.environ.get("SLAM_SCAN_FORCE_KF"))
     _direct = cfg.tracker.method == "direct"
-    if _direct:
+    _hybrid = cfg.tracker.method == "hybrid"
+    if _direct or _hybrid:
         from slam_toolkit_tpu.frontend.direct_tracker import track_direct
         from slam_toolkit_tpu.frontend.matching import projection_match
         from slam_toolkit_tpu.frontend.tracker import TrackResult
         from slam_toolkit_tpu.geometry import camera as cam_mod
+        from slam_toolkit_tpu.optim import direct_lm
         from slam_toolkit_tpu.optim.direct_lm import DirectState
 
     def _direct_track(carry: ChunkCarry, frame, left, T_pred):
@@ -124,6 +130,35 @@ def make_frame_body(cfg: SlamConfig, cam: StereoCamera):
                           n_inliers=n_in, ok=ok)
         return res, jnp.stack([dres.state.a, dres.state.b])
 
+    def _hybrid_polish(carry: ChunkCarry, left, res0):
+        """Indirect seed + a short full-resolution photometric polish
+        against the carried anchor keyframe (r4 verdict #5; ref
+        BrightenDirectPoseTracker src/posetracker.cpp:250-353 wired as
+        a REFINEMENT instead of a replacement: the 8-point-pattern
+        basin cannot absorb KITTI's 0.8 m/frame motion — measured ATE
+        2.454 m for full direct — but a seeded polish starts inside
+        the basin and only sharpens sub-pixel alignment). The anchor's
+        pattern intensities ride the carry (kf_refvals, computed once
+        per keyframe event), so the per-frame cost is the LM
+        iterations only. A polish that moves the camera center more
+        than hybrid_max_shift_m is rejected: centimeters mean
+        refinement, more means the photometric model disagreed
+        (occlusion / brightness break)."""
+        st0 = DirectState(T_cw=res0.T_cw, a=carry.kf_ab[0],
+                          b=carry.kf_ab[1])
+        dres = direct_lm.optimize_direct(
+            st0, left, cam.left, carry.lm_Xw, carry.kf_refvals,
+            carry.lm_valid, 1.0, iters=cfg.tracker.hybrid_iters)
+        T_dir = se3.normalize(dres.state.T_cw)
+        c0 = -res0.T_cw[:3, :3].T @ res0.T_cw[:3, 3]
+        c1 = -T_dir[:3, :3].T @ T_dir[:3, 3]
+        okp = res0.ok & (jnp.linalg.norm(c1 - c0)
+                         < cfg.tracker.hybrid_max_shift_m)
+        T = jnp.where(okp, T_dir, res0.T_cw)
+        ab = jnp.where(okp, jnp.stack([dres.state.a, dres.state.b]),
+                       carry.kf_ab)
+        return res0._replace(T_cw=T), ab
+
     def frame_body(carry: ChunkCarry, xs):
         frame, left, right = xs
         if _stage == "extract":
@@ -134,6 +169,10 @@ def make_frame_body(cfg: SlamConfig, cam: StereoCamera):
         T_pred = se3.compose(carry.velocity, carry.T_cw)
         if _direct:
             res, ab_new = _direct_track(carry, frame, left, T_pred)
+        elif _hybrid:
+            res = track_pose(frame, carry.lm_Xw, carry.lm_desc,
+                             carry.lm_valid, T_pred, cam, cfg)
+            res, ab_new = _hybrid_polish(carry, left, res)
         else:
             res = track_pose(frame, carry.lm_Xw, carry.lm_desc,
                              carry.lm_valid, T_pred, cam, cfg)
@@ -183,21 +222,33 @@ def make_frame_body(cfg: SlamConfig, cam: StereoCamera):
                     m3, cfg.map.track_landmarks, cfg.map.track_recent_kfs,
                     cfg.map.track_covis_kfs, cfg.map.track_covis_min,
                     camera_frustum(cfg.camera))
-            # direct method: this keyframe becomes the photometric
+            # direct/hybrid: this keyframe becomes the photometric
             # anchor — its image paired with the BA-refined pose (the
-            # best estimate of where the image was captured)
+            # best estimate of where the image was captured). Hybrid
+            # additionally hoists the anchor's pattern intensities for
+            # the NEW landmark snapshot here, so per-frame polishes
+            # skip the reference_values pass.
+            if _hybrid:
+                ref_st = DirectState(T_cw=m3.kf_T_cw[slot],
+                                     a=ab_new[0], b=ab_new[1])
+                refvals = direct_lm.reference_values(
+                    ref_st, left, cam.left, lm[0], lm[3], 1.0)
+            else:
+                refvals = None
             return (m3, lm, slot.astype(jnp.int32), m3.kf_T_cw[slot],
-                    left if _direct else None)
+                    left if (_direct or _hybrid) else None, refvals)
 
         def no_branch(op):
             m, _ = op
             lm = (carry.lm_Xw, carry.lm_desc, carry.lm_ids, carry.lm_valid)
-            return m, lm, carry.latest_slot, carry.latest_T, carry.kf_img
+            return (m, lm, carry.latest_slot, carry.latest_T,
+                    carry.kf_img, carry.kf_refvals)
 
         if _stage == "track":
-            m_new, lm, slot, latest_T, kf_img = no_branch((carry.m, frame))
+            m_new, lm, slot, latest_T, kf_img, refvals = no_branch(
+                (carry.m, frame))
         else:
-            m_new, lm, slot, latest_T, kf_img = jax.lax.cond(
+            m_new, lm, slot, latest_T, kf_img, refvals = jax.lax.cond(
                 needs, kf_branch, no_branch, (carry.m, frame))
         # the keyframe pose may have moved in BA; report the map's version
         T_out = jnp.where(needs, latest_T, T_new)
@@ -217,7 +268,7 @@ def make_frame_body(cfg: SlamConfig, cam: StereoCamera):
             # (a, b) carries forward EVERY frame — the anchor's
             # brightness is the latest tracked estimate, exactly like
             # engine.process's per-frame `self._kf_ab = packed[35:37]`
-            kf_ab=ab_new)
+            kf_ab=ab_new, kf_refvals=refvals)
         return new_carry, packed
 
     return frame_body
@@ -317,6 +368,17 @@ class ChunkedSlamEngine:
                                latest_T_new)
 
         self._reseed_fn = _reseed
+        if self.cfg.tracker.method == "hybrid":
+            from slam_toolkit_tpu.optim import direct_lm as _dlm
+            cam_left = self.cam.left
+
+            @jax.jit
+            def _refvals(img, T, ab, Xw, valid):
+                st = _dlm.DirectState(T_cw=T, a=ab[0], b=ab[1])
+                return _dlm.reference_values(st, img, cam_left, Xw,
+                                             valid, 1.0)
+
+            self._refvals_fn = _refvals
         # reuse the classic engine for bootstrap + loop/cull machinery
         from slam_toolkit_tpu.pipeline.engine import SlamEngine
         self._host = SlamEngine(self.cfg, self.cam, vocab=vocab)
@@ -411,7 +473,15 @@ class ChunkedSlamEngine:
             h._latest_slot_host = int(np.asarray(self._pending_counts)[0])
             self._pending_counts = None
         lm = h._lm
-        direct = self.cfg.tracker.method == "direct"
+        photo = self.cfg.tracker.method in ("direct", "hybrid")
+        kf_img = jnp.asarray(h._kf_img, jnp.float32) if photo else None
+        kf_ab = jnp.asarray(h._kf_ab, jnp.float32) if photo else None
+        refvals = None
+        if self.cfg.tracker.method == "hybrid":
+            # carry rebuilds are rare (bootstrap / closure / cull); one
+            # jitted dispatch recomputes the anchor pattern intensities
+            refvals = self._refvals_fn(kf_img, h._latest_kf_T_dev,
+                                       kf_ab, lm[0], lm[3])
         return ChunkCarry(
             m=h.map, T_cw=h.T_cw, velocity=h.velocity,
             lm_Xw=lm[0], lm_desc=lm[1], lm_ids=lm[2], lm_valid=lm[3],
@@ -428,11 +498,9 @@ class ChunkedSlamEngine:
             # conservative reset on carry rebuilds (bootstrap / loop
             # closure / cull): only delays the next decay-rule keyframe
             inlier_peak=jnp.float32(0.0),
-            # direct method: the photometric anchor mirrors (set by the
+            # direct/hybrid: the photometric anchor mirrors (set by the
             # host bootstrap / refreshed at dispatch time)
-            kf_img=(jnp.asarray(h._kf_img, jnp.float32)
-                    if direct else None),
-            kf_ab=jnp.asarray(h._kf_ab, jnp.float32) if direct else None)
+            kf_img=kf_img, kf_ab=kf_ab, kf_refvals=refvals)
 
     def process_chunk(self, images) -> np.ndarray:
         """images: (C, 2, H, W) float32 (numpy or device).

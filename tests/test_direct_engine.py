@@ -75,3 +75,32 @@ def test_direct_chunked_engine():
     err = ate_rmse(traj, gt, align=True)
     assert err < 0.2, f"chunked direct-method ATE RMSE {err:.3f} m"
     assert eng._host.n_keyframes >= 1
+
+
+@pytest.mark.slow
+def test_hybrid_chunked_engine():
+    """method="hybrid" (r4 verdict #5): indirect seed + short
+    full-resolution photometric polish against the carried anchor
+    (scan_engine._hybrid_polish). Under the same affine brightness
+    drift the polish must not break tracking (the a/b estimation
+    absorbs the drift) and the trajectory must at least match the
+    indirect baseline on a clean run."""
+    from slam_toolkit_tpu.pipeline.scan_engine import ChunkedSlamEngine
+
+    base = SlamConfig.tiny()
+    cfg = dataclasses.replace(
+        base, tracker=dataclasses.replace(base.tracker, method="hybrid"))
+    world, gt, frames = make_sequence(cfg, n_frames=9, seed=3, step=0.25)
+    bright = []
+    for i, (l, r) in enumerate(frames):
+        g = 1.0 + 0.02 * i
+        off = 1.2 * i
+        bright.append((np.clip(g * l + off, 0, 255),
+                       np.clip(g * r + off, 0, 255)))
+    eng = ChunkedSlamEngine(cfg, chunk_size=4)
+    eng.run(bright)
+    traj = eng.trajectory_refined()
+    assert len(traj) == len(gt)
+    err = ate_rmse(traj, gt, align=True)
+    assert err < 0.15, f"hybrid ATE RMSE {err:.3f} m"
+    assert eng._host.n_keyframes >= 1

@@ -85,6 +85,18 @@ def main_loop():
         # shifted solution with 148 self-consistent "inliers" and a
         # 14 m-wrong translation. Real imagery does not tile; the
         # synthetic world must not either.
+        # NOTE (r5): a fine-detail octave + lens-PSF variant of this
+        # world (make_world detail_texels_per_m/psf_sigma, kept
+        # available) was built to give the near field matchable
+        # structure — without it near matches are inherently aliased
+        # (8.5 px/texel magnified blobs at z=7 m), the map goes
+        # far-only, and the loop edge inherits the far-field
+        # yaw/lateral valley (r5 dissection). Measured END-TO-END it
+        # degraded tracking (open-loop drift 1.9 -> 5.1 m even with the
+        # 0.7 px PSF: the detail's pixel-footprint variance decorrelates
+        # descriptors under motion), so the bench stays on the plain
+        # world and the near-geometry fix lives in the loop measurement
+        # (relpose_stereo_aug) instead.
         world = make_world(cfg, seed=7, half_width=extent + 12.0,
                            half_length=extent + 12.0, ground_y=1.6,
                            tex_size=2048, texels_per_m=12.0)

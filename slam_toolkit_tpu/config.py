@@ -92,6 +92,20 @@ class MatcherConfig:
     # this engine's pattern a measured sweep (scripts/sweep_gates.py)
     # gives ~2x recall at >=93% precision at 0.7.
     ratio: float = 0.7
+    # Ratio for PROJECTION-GUIDED matches (pose-predicted search
+    # windows). Near ground texture is self-similar under magnification:
+    # measured on the bench clothoid at z<21.5 m, the 0.7 ratio rejected
+    # 151 of 166 hamming-passing near matches (~25 candidates per 50 px
+    # window, second-best ~ best) while far points passed 224/512 — so
+    # the map keeps almost no near landmarks. Relaxing this to 0.9
+    # (ORB-SLAM's tracking SearchByProjection value) was measured and
+    # REJECTED: the extra ambiguous matches tripled open-loop drift on
+    # the bench clothoid (the LM's inlier gate does not reject
+    # look-alikes that land within the 10 px reprojection window on
+    # self-similar texture). Near geometry for the loop measurement
+    # comes from the candidate keyframe's stereo rows instead
+    # (closer._candidate_group_landmarks).
+    track_ratio: float = 0.7
     stereo_max_dy: float = 3.0        # |y_l - y_r| epipolar gate
     stereo_min_dx: float = 0.0        # disparity bounds
     stereo_max_dx: float = 100.0
@@ -233,6 +247,27 @@ class LoopConfig:
     #                                   80+ reprojection inliers on the
     #                                   revisit circle
     relpose_landmarks: int = 4096     # dedup capacity of that gather
+    relpose_stereo_aug: bool = False  # augment the loop solve's point
+    #                                   set with the candidate keyframe's
+    #                                   own stereo keypoints triangulated
+    #                                   off its disparity rows. The
+    #                                   curated map is near-starved (the
+    #                                   track_ratio note above), so the
+    #                                   solve otherwise inherits the
+    #                                   far-field ambiguity valley; the
+    #                                   keyframe rows keep ~500 near
+    #                                   stereo points per frame whose
+    #                                   descriptors match directly at
+    #                                   the revisit viewpoint. Geometry
+    #                                   verified exact on CPU; default
+    #                                   OFF because on the synthetic
+    #                                   bench world near matches are
+    #                                   texture-aliased and the
+    #                                   mostly-coplanar aug set admitted
+    #                                   a tilted consensus (+2.5 m
+    #                                   vertical edge, BASELINE.md r5) —
+    #                                   re-evaluate on real imagery,
+    #                                   whose near field is matchable
     min_matches: int = 40             # relative-pose acceptance — the
     #                                   ORB-SLAM2 threshold. The reference's
     #                                   8 (and an earlier 25 here) admits
@@ -266,6 +301,48 @@ class LoopConfig:
     #                                   r4/r5 seam dissections measured
     #                                   (1.5 m lateral edge error at
     #                                   1.03 deg through 122 inliers)
+    relpose_refine_rounds: int = 0    # re-match-by-projection rounds from
+    #                                   the SOLVED pose (the ORB-SLAM2 loop
+    #                                   flow: Sim3 seed -> SearchByProjection
+    #                                   -> optimize again; ref loop re-track
+    #                                   src/loopcloser.cpp:51-100 seeds from
+    #                                   the candidate pose once). The first
+    #                                   match searches around projections at
+    #                                   the DRIFTED prediction, so only
+    #                                   landmarks whose true projection
+    #                                   falls within the radius of the
+    #                                   drifted one get matched — a
+    #                                   selection biased toward the
+    #                                   prediction that drags the solve
+    #                                   along the yaw/lateral valley (the
+    #                                   r5 dissection's 1.5 m lateral edge
+    #                                   error through 122 inliers).
+    #                                   Re-matching from the solved pose
+    #                                   removes the selection bias.
+    #                                   Default 0 on the r5 on-chip
+    #                                   sweep: one gated round trimmed
+    #                                   the bench clothoid's edge 1.516
+    #                                   -> 1.408 m but the seam landed
+    #                                   0.25 m WORSE through post-
+    #                                   closure revisit sensitivity
+    #                                   (same result with the sim3
+    #                                   scale locked to 1 — not a scale
+    #                                   artifact); and it MUST stay
+    #                                   gated on prior acceptance: an
+    #                                   ungated refine rescued a
+    #                                   34-inlier wrong candidate to 46
+    #                                   self-consistent inliers at a
+    #                                   4.3 m edge (BASELINE.md r5).
+    relpose_refine_radius: float = 1.0  # re-match radius, as a fraction
+    #                                   of matcher.projection_radius. NOT
+    #                                   tighter than the first pass: a
+    #                                   residual 1.5 m solve error still
+    #                                   projects near (z~10 m) landmarks
+    #                                   ~100 px off, and a 0.4x radius
+    #                                   (20 px) kept the near points out
+    #                                   of the refined set — measured
+    #                                   n_near=0 after refinement on the
+    #                                   bench clothoid
     reloc_lost_streak: int = 6        # chunked engine: consecutive lost
     #                                   frames (packed ok=0) before a
     #                                   fold-time BoW relocalization is

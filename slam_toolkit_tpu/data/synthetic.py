@@ -29,6 +29,26 @@ class PlaneWorld(NamedTuple):
     half_width: float        # walls at x = +/- half_width
     ground_y: float          # ground plane at y = ground_y (y points down)
     half_length: float = 0.0  # if > 0, also walls at z = +/- half_length (box room)
+    # optional fine-detail octave (separate small tileable texture added
+    # on top of the base sample, with its own density): real surfaces
+    # carry structure at ALL scales, while the base texture alone leaves
+    # the NEAR field as featureless magnified blobs (at 12 texels/m one
+    # texel spans ~8.5 px at z=7 m on KITTI intrinsics) whose matches
+    # are inherently ambiguous — measured as the near-starved map and
+    # the far-field-valley loop-edge bias of the r5 seam dissection.
+    # The detail layer tiles at a short period (~5 m); the base layer
+    # (period tex_size/texels_per_m, chosen > scene diameter)
+    # disambiguates any detail-period alias.
+    detail_mips: tuple = ()       # one pyramid per plane ((), = off)
+    detail_texels_per_m: float = 0.0
+    # lens PSF sigma in pixels, applied to the final rendered image.
+    # The mip sampler integrates an ideal box footprint per pixel, so
+    # adjacent pixels see INDEPENDENT patch means of sub-pixel texture —
+    # "shimmer" at exactly Nyquist that decorrelates descriptors frame
+    # to frame (measured: the detail octave alone quadrupled open-loop
+    # drift). A real lens bandlimits before sampling; 0.7 px Gaussian
+    # approximates that.
+    psf_sigma: float = 0.0
 
 
 def _smooth_noise(size: int, cells: int, amp: float, rng) -> np.ndarray:
@@ -70,16 +90,37 @@ def _mip_pyramid(tex: np.ndarray, levels: int = 8) -> tuple:
 def make_world(cfg: SlamConfig, seed: int = 0, half_width: float = 6.0,
                ground_y: float = 1.6, tex_size: int = 512,
                texels_per_m: float = 24.0, half_length: float = 0.0,
+               detail_texels_per_m: float = 0.0, detail_amp: float = 25.0,
+               detail_tex_size: int = 512,
                **_compat) -> PlaneWorld:
-    """half_length > 0 closes the corridor into a box room (loop tests)."""
+    """half_length > 0 closes the corridor into a box room (loop tests).
+
+    detail_texels_per_m > 0 adds the fine-detail octave (see PlaneWorld)
+    — used by the KITTI-scale loop bench world so the near field has
+    matchable structure like real imagery."""
     mips = tuple(_mip_pyramid(_block_texture(tex_size, 8, seed * 31 + i))
                  for i in range(5))
+    detail = ()
+    if detail_texels_per_m > 0.0:
+        rngs = [np.random.default_rng(seed * 131 + 7 * i + 3)
+                for i in range(5)]
+        detail = tuple(
+            _mip_pyramid(np.clip(
+                r.uniform(-detail_amp, detail_amp,
+                          (detail_tex_size, detail_tex_size)) +
+                _smooth_noise(detail_tex_size, detail_tex_size // 4,
+                              detail_amp, r),
+                -2.0 * detail_amp, 2.0 * detail_amp).astype(np.float32))
+            for r in rngs)
     return PlaneWorld(cfg=cfg,
                       plane_mips=mips,
                       texels_per_m=texels_per_m,
                       half_width=half_width,
                       ground_y=ground_y,
-                      half_length=half_length)
+                      half_length=half_length,
+                      detail_mips=detail,
+                      detail_texels_per_m=detail_texels_per_m,
+                      psf_sigma=0.7 if detail_texels_per_m > 0.0 else 0.0)
 
 
 def _sample_bilinear(tex: np.ndarray, u: np.ndarray,
@@ -168,15 +209,38 @@ def render_view(world: PlaneWorld, T_cw: np.ndarray,
         cosi = np.abs(dn[hit]) / d_norm[hit]
         rng = ti[hit] * d_norm[hit]
         footprint = tpm * rng / (cam.fx * np.maximum(cosi, 0.05))
-        img[hit] = _sample_tex(world.plane_mips[plane_idx], tex_u, tex_v,
-                               footprint)
+        val = _sample_tex(world.plane_mips[plane_idx], tex_u, tex_v,
+                          footprint)
+        if world.detail_mips:
+            # fine-detail octave: same hit points, its own density; the
+            # mip chain melts it away at range, so only the near field
+            # (where the base texture is magnified featureless blobs)
+            # gains structure
+            dtpm = world.detail_texels_per_m
+            val = val + _sample_tex(
+                world.detail_mips[plane_idx],
+                pt[..., ua][hit] * dtpm, pt[..., va][hit] * dtpm,
+                dtpm * rng / (cam.fx * np.maximum(cosi, 0.05)))
+        img[hit] = np.clip(val, 0.0, 255.0)
         best_t[hit] = ti[hit]
 
+    if world.psf_sigma > 0.0:
+        img = _psf_blur(img, world.psf_sigma)
     if return_depth:
         # ray param t is the z-depth: p_cam = t * d_cam and d_cam_z = 1
         depth = np.where(np.isfinite(best_t), best_t, 0.0).astype(np.float32)
         return img, depth
     return img
+
+
+def _psf_blur(img: np.ndarray, sigma: float) -> np.ndarray:
+    """Separable 5-tap Gaussian lens PSF (see PlaneWorld.psf_sigma)."""
+    r = np.arange(-2, 3, dtype=np.float32)
+    k = np.exp(-0.5 * (r / sigma) ** 2)
+    k /= k.sum()
+    p = np.pad(img, ((2, 2), (2, 2)), mode='edge')
+    p = sum(k[i] * p[:, i:i + img.shape[1]] for i in range(5))
+    return sum(k[i] * p[i:i + img.shape[0], :] for i in range(5))
 
 
 def right_pose(T_cw: np.ndarray, baseline: float) -> np.ndarray:

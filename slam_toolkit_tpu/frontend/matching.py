@@ -89,7 +89,12 @@ def projection_match(Xw: jnp.ndarray, mp_desc: jnp.ndarray,
     t2 = topk2_match(mp_desc, frame_feats.desc, a_uv, b_xy, radius)
 
     def ratio_ok(best, second):
-        return (best <= cfg.max_hamming) & (best < cfg.ratio * second)
+        # track_ratio, not ratio: a pose-guided search window on
+        # self-similar near texture holds many look-alikes, and the
+        # strict prior-free ratio starves the map of near landmarks
+        # (see MatcherConfig.track_ratio); reprojection gating
+        # downstream rejects the ambiguity this admits
+        return (best <= cfg.max_hamming) & (best < cfg.track_ratio * second)
 
     ok1 = ratio_ok(t2[:, 0], t2[:, 1])
     ok2 = ratio_ok(t2[:, 3], t2[:, 4])

@@ -102,7 +102,40 @@ def _candidate_group_landmarks(m: MapState, cur_slot: jnp.ndarray,
     safe = jnp.where(ok, uniq, 0)
     Xw = mappoint_positions_at(m, safe)
     valid = ok & m.mp_valid[safe]
-    return Xw, m.mp_desc[safe], valid
+    if not cfg.loop.relpose_stereo_aug:
+        return Xw, m.mp_desc[safe], valid
+    # augment with the CANDIDATE keyframe's own stereo keypoints as 3D
+    # points. The curated map is effectively far-only at KITTI scale
+    # (near ground points fail the self-similar-texture ratio test
+    # frame to frame and are weak-culled — measured 65-74 m depth
+    # percentiles on the bench clothoid's candidate group), so the loop
+    # solve inherits the far-field's yaw/lateral ambiguity valley
+    # (1.5 m lateral edge error at 1.03 deg through 122 inliers, r4/r5
+    # dissections). The keyframe rows store ALL extracted keypoints
+    # with their stereo matches (~500 near ones per frame), and at the
+    # revisit the viewpoint matches the anchor's, so their descriptors
+    # are directly matchable — triangulate them off the candidate's
+    # stereo disparity and let them vote. The reference's loop re-track
+    # equally uses the candidate FRAME's features, not only curated
+    # mappoints (ref src/loopcloser.cpp:51-100 via matcher.cpp).
+    norm_c = m.kf_norm[cand_slot]                        # (K, 2)
+    disp_n = norm_c[:, 0] - m.kf_right_x_norm[cand_slot]
+    # baseline enters via the caller's camera at solve time; disparity
+    # is stored normalized, so z = baseline / disp_n. Gate tiny/negative
+    # disparities (z blows up) — those rows are far points the curated
+    # map already covers.
+    z_c = cfg.camera.baseline / jnp.maximum(disp_n, 1e-6)
+    aug_ok = (m.kf_kpt_valid[cand_slot] & m.kf_has_stereo[cand_slot]
+              & (disp_n > 1e-6) & (z_c > 0.5)
+              & (z_c < 2.0 * cfg.loop.relpose_depth_baselines
+                 * cfg.camera.baseline))
+    ray = jnp.concatenate([norm_c, jnp.ones_like(z_c)[:, None]], axis=-1)
+    Xc = ray * z_c[:, None]
+    Xw_aug = se3.transform(se3.inv(m.kf_T_cw[cand_slot]), Xc)
+    return (jnp.concatenate([Xw, Xw_aug], axis=0),
+            jnp.concatenate([m.mp_desc[safe],
+                             m.kf_desc[cand_slot].reshape(-1, 8)], axis=0),
+            jnp.concatenate([valid, aug_ok], axis=0))
 
 
 def _ransac_consensus(T_pred: jnp.ndarray, Xw: jnp.ndarray,
@@ -238,11 +271,11 @@ def relative_pose(m: MapState, cur_slot: jnp.ndarray, cand_slot: jnp.ndarray,
     key = jax.random.fold_in(jax.random.PRNGKey(7),
                              cur_slot * F + cand_slot)
 
-    def solve(kpt, ok, salt):
+    def solve(kpt, ok, salt, T_seed):
         z_norm = m.kf_norm[cur_slot][kpt]
         sigma2 = m.kf_sigma2[cur_slot][kpt] / (cam.left.fx * cam.left.fx)
         consensus = _ransac_consensus(
-            T_pred, Xw, z_norm, ok,
+            T_seed, Xw, z_norm, ok,
             cfg.tracker.reprojection_px / cam.left.fx,
             jax.random.fold_in(key, salt))
         # keep the raw set if consensus collapsed (degenerate samples)
@@ -258,8 +291,8 @@ def relative_pose(m: MapState, cur_slot: jnp.ndarray, cand_slot: jnp.ndarray,
         # dissection; the seam offset equals the edge error). Near
         # points pin the translation; the far set still votes through
         # the consensus mask and the final inlier count.
-        z_pred = (jnp.einsum('ij,nj->ni', T_pred[:3, :3], Xw)
-                  + T_pred[:3, 3])[:, 2]
+        z_pred = (jnp.einsum('ij,nj->ni', T_seed[:3, :3], Xw)
+                  + T_seed[:3, 3])[:, 2]
         near = z_pred < cfg.loop.relpose_depth_baselines * cam.baseline
         use_near = use & near
         # gate threshold is its own knob (relpose_near_min), decoupled
@@ -277,7 +310,7 @@ def relative_pose(m: MapState, cur_slot: jnp.ndarray, cand_slot: jnp.ndarray,
         stereo = (m.kf_right_x_norm[cur_slot][kpt],
                   m.kf_has_stereo[cur_slot][kpt].astype(jnp.float32),
                   cam.baseline)
-        res = pose_lm.optimize_pose(T_pred, Xw, z_norm, sigma2, use,
+        res = pose_lm.optimize_pose(T_seed, Xw, z_norm, sigma2, use,
                                     cfg.tracker, stereo=stereo)
         T_est = res.T_cw
         if cfg.loop.relpose_rt_rounds > 0:
@@ -300,7 +333,8 @@ def relative_pose(m: MapState, cur_slot: jnp.ndarray, cand_slot: jnp.ndarray,
     # accumulated loop drift, not one frame of motion
     match = projection_match(Xw, desc, valid, feats, T_pred, cam,
                              cfg.matcher, 1.0 * cfg.matcher.projection_radius)
-    T_proj, n_proj, s_proj, nn_proj = solve(match.kpt_idx, match.ok, 0)
+    T_proj, n_proj, s_proj, nn_proj = solve(match.kpt_idx, match.ok, 0,
+                                            T_pred)
 
     # FeatureVector-equivalent fallback: the reference seeds loop
     # matching from DBoW2 node groups (TemplatedVocabulary.h:135-146 via
@@ -318,17 +352,49 @@ def relative_pose(m: MapState, cur_slot: jnp.ndarray, cand_slot: jnp.ndarray,
     gok = hamming.keep_best_per_target(
         gidx, gok, dist[jnp.arange(gidx.shape[0]), gidx],
         feats.desc.shape[0])
-    T_glob, n_glob, s_glob, nn_glob = solve(gidx, gok, 1)
+    T_glob, n_glob, s_glob, nn_glob = solve(gidx, gok, 1, T_pred)
 
     # prefer the projective solve (tighter gating); fall back to the
     # global solve when projection found too little and global did better
     use_glob = (n_proj < cfg.loop.min_matches) & (n_glob > n_proj)
     T = jnp.where(use_glob, T_glob, T_proj)
     n = jnp.where(use_glob, n_glob, n_proj)
+    s = jnp.where(use_glob, s_glob, s_proj)
+    nn = jnp.where(use_glob, nn_glob, nn_proj)
+
+    # re-match from the SOLVED pose (selection-bias removal; see
+    # LoopConfig.relpose_refine_rounds). The first projection match only
+    # finds landmarks whose true projection lies within the radius of
+    # the DRIFT-predicted one — a biased subset whose solve is dragged
+    # toward the prediction along the yaw/lateral ambiguity valley (the
+    # r5 seam dissection's 1.5 m lateral edge error at 1.03 deg through
+    # 122 inliers — the decoupled-refine A/B proved the optimizer
+    # converges; the matches themselves were biased). Re-matching around
+    # projections at the solved pose recovers the unbiased set, exactly
+    # the reference flow's second SearchByProjection pass.
+    # refine ONLY solves that already pass the acceptance gate: the
+    # re-match exists to DE-BIAS an accepted edge, not to rescue a
+    # failed candidate — re-matching around a wrong solve with a tight
+    # radius manufactures self-consistent support (measured on the bench
+    # clothoid: the 34-inlier failed candidate "improved" to 46 inliers
+    # at a 4.3 m-wrong edge and stole the closure from the genuine
+    # 122-inlier candidate one keyframe later)
+    accepted0 = n >= cfg.loop.min_matches
+    for r in range(cfg.loop.relpose_refine_rounds):
+        radius = cfg.loop.relpose_refine_radius * \
+            cfg.matcher.projection_radius
+        m2 = projection_match(Xw, desc, valid, feats, T, cam,
+                              cfg.matcher, radius)
+        T2, n2, s2, nn2 = solve(m2.kpt_idx, m2.ok, 2 + r, T)
+        apply = accepted0 & (n2 >= cfg.loop.min_matches)
+        T = jnp.where(apply, T2, T)
+        n = jnp.where(apply, n2, n)
+        s = jnp.where(apply, s2, s)
+        nn = jnp.where(apply, nn2, nn)
+
     return RelPoseResult(T_cw=T, n_inliers=n,
                          ok=n >= cfg.loop.min_matches,
-                         scale=jnp.where(use_glob, s_glob, s_proj),
-                         n_near=jnp.where(use_glob, nn_glob, nn_proj))
+                         scale=s, n_near=nn)
 
 
 def _loop_scale(m: MapState, cur_slot, kpt, inlier, d_cand, cfg):

@@ -306,6 +306,17 @@ def unique_prioritized(ids: jnp.ndarray, num_out: int,
     # is exactly the "refined, multi-view" one worth keeping (bench
     # ATE/RPE at KITTI scale: 0.173 m / 0.0223 m vs 0.170 / 0.0225
     # before — inside run-to-run noise).
+    # NOTE (r5): a nearest-first ordering among non-established
+    # landmarks (quantized-invd sort bands) was measured on the bench
+    # clothoid and REJECTED: near ground points fail frame-to-frame
+    # descriptor matching regardless of being offered (self-similar
+    # texture under magnification — see MatcherConfig.track_ratio), so
+    # the near inits displaced established far landmarks from the
+    # snapshot without ever matching, tripling open-loop drift
+    # (1.9 -> 6.7 m over the 320-frame track). Near geometry for the
+    # loop relative pose comes from the candidate keyframe's own stereo
+    # rows instead (closer._candidate_group_landmarks stereo
+    # augmentation).
     est = first & jnp.concatenate([sid[1:] == sid[:-1],
                                    jnp.zeros(1, bool)])
     pack2 = jnp.where(first,

@@ -907,6 +907,14 @@ class SlamEngine:
         self.consistency.reset()
         ev = {"frame": fid, "kf_slot": slot, "cand": cand,
               "inliers": n_new, "fid_cand": fid_cand,
+              # near-landmark participation of the accepted edge (depth
+              # gate / refine diagnostics: 0 near inliers = the solve sat
+              # in the far-depth ambiguity valley)
+              "n_near": int(np.asarray(rel.n_near)),
+              # detected current/candidate scale ratio (sim3 edges apply
+              # it; a wrong estimate rescales anchored depths and shows
+              # up as revisit re-drift)
+              "scale": round(float(np.asarray(rel.scale)), 5),
               # raw measurement diagnostics (seam dissection): the
               # re-tracked current-keyframe pose in the candidate side's
               # PRE-correction world, and that pre-correction candidate

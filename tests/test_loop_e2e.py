@@ -221,6 +221,103 @@ def test_global_match_fallback_when_projection_finds_nothing():
 
 
 @pytest.mark.slow
+def test_relpose_refine_inert_when_initial_solve_rejected():
+    """The re-match refinement (LoopConfig.relpose_refine_rounds) must
+    be INERT when the initial solve fails the acceptance gate: on the
+    bench clothoid an UNGATED refine re-matched around a wrong 34-inlier
+    solve and manufactured 46 self-consistent inliers at a 4.3 m-wrong
+    edge, stealing the closure from the genuine candidate one keyframe
+    later (BASELINE.md r5). Gated correctly, rounds=1 must return the
+    rounds=0 result bit-for-bit on a pair whose solve is rejected."""
+    import dataclasses
+
+    from slam_toolkit_tpu.data.synthetic import make_sequence
+    from slam_toolkit_tpu.geometry.camera import StereoCamera
+    from slam_toolkit_tpu.loop.closer import relative_pose
+
+    cfg = SlamConfig.tiny()
+    cam = StereoCamera.from_config(cfg.camera)
+    world, gt, frames = make_sequence(cfg, n_frames=14, seed=3, step=0.25)
+    eng = SlamEngine(cfg)
+    for lf, rf in frames:
+        eng.process(lf, rf)
+    m = eng.map
+    fid = np.asarray(m.kf_frame_id)
+    valid = np.asarray(m.kf_valid)
+    slots = np.flatnonzero(valid)[np.argsort(fid[valid])]
+    assert len(slots) >= 3
+    cand, cur = int(slots[1]), int(slots[-1])
+    # starve the candidate group (landmarks anchored at cand dropped) so
+    # the solve cannot reach min_matches — the rejected-solve scenario
+    m_starved = m._replace(mp_valid=m.mp_valid & (m.mp_ref_kf != cand))
+
+    def run(rounds):
+        c = dataclasses.replace(cfg, loop=dataclasses.replace(
+            cfg.loop, relpose_refine_rounds=rounds,
+            relpose_stereo_aug=False))
+        return relative_pose(m_starved, jnp.int32(cur), jnp.int32(cand),
+                             cam, c)
+
+    r0, r1 = run(0), run(1)
+    assert not bool(r0.ok), \
+        f"scenario failed to produce a rejected solve ({int(r0.n_inliers)})"
+    assert not bool(r1.ok)
+    assert int(r0.n_inliers) == int(r1.n_inliers)
+    np.testing.assert_array_equal(np.asarray(r0.T_cw), np.asarray(r1.T_cw))
+
+
+@pytest.mark.slow
+def test_relpose_stereo_aug_geometry_exact():
+    """The candidate-stereo augmentation (relpose_stereo_aug) must
+    triangulate keyframe stereo rows to the SAME world positions the
+    anchored-landmark parameterization stores: for every augmented
+    keypoint that anchors a live landmark, the two positions coincide
+    (same ray, same disparity depth)."""
+    import dataclasses
+
+    from slam_toolkit_tpu.data.synthetic import make_sequence
+    from slam_toolkit_tpu.loop.closer import _candidate_group_landmarks
+    from slam_toolkit_tpu.mapping.map_state import mappoint_positions_at
+
+    cfg = SlamConfig.tiny()
+    cfg = dataclasses.replace(cfg, loop=dataclasses.replace(
+        cfg.loop, relpose_stereo_aug=True))
+    world, gt, frames = make_sequence(cfg, n_frames=6, seed=3, step=0.25)
+    eng = SlamEngine(cfg)
+    for lf, rf in frames:
+        eng.process(lf, rf)
+    m = eng.map
+    kfv = np.asarray(m.kf_valid)
+    cand = int(np.flatnonzero(kfv)[0])
+    cur = int(np.flatnonzero(kfv)[-1])
+
+    L = cfg.loop.relpose_landmarks
+    Xw, desc, valid = _candidate_group_landmarks(
+        m, jnp.int32(cur), jnp.int32(cand), cfg)
+    K = m.kf_norm.shape[1]
+    assert Xw.shape[0] == L + K
+    Xw_aug = np.asarray(Xw)[L:]
+    aug_ok = np.asarray(valid)[L:]
+    assert aug_ok.sum() > 50, f"too few augmented points: {aug_ok.sum()}"
+
+    row = np.asarray(m.kf_obs[cand])
+    ref = np.asarray(m.mp_ref_kf)
+    mpv = np.asarray(m.mp_valid)
+    kpt = np.asarray(m.mp_kpt)
+    errs = []
+    for k in range(K):
+        mid = row[k]
+        if mid < 0 or not mpv[mid] or ref[mid] != cand or not aug_ok[k] \
+                or kpt[mid] != k:
+            continue
+        Xl = np.asarray(mappoint_positions_at(m, jnp.asarray([mid])))[0]
+        errs.append(np.linalg.norm(Xl - Xw_aug[k]))
+    assert len(errs) > 20, f"too few anchored pairs compared: {len(errs)}"
+    assert np.median(errs) < 0.01, \
+        f"aug triangulation disagrees with anchors: median {np.median(errs)}"
+
+
+@pytest.mark.slow
 def test_relocalization_recovers():
     """Blind the engine for a stretch while teleporting the camera back:
     constant velocity cannot recover, BoW relocalization must

@@ -56,16 +56,28 @@ def main():
     h = eng._host
 
     imgs = jnp.asarray(stacked[n_warm:n_warm + chunk], jnp.float32)
-    # chunk program alone (blocked)
-    carry = eng._carry()
-    ms_chunk, out = t(lambda c, im: eng._chunk(eng._carry(), im),
-                      carry, imgs, n=8)
+    # chunk program alone (blocked). _chunk DONATES its input carry, so
+    # each timed call consumes a fresh device copy of a pristine carry
+    # (copy cost reported separately for subtraction).
+    carry0 = eng._carry()
+    eng._carry_cache = None     # keep the engine's own mirrors intact
+
+    def copy_tree(x):
+        return jax.tree_util.tree_map(
+            lambda a: jnp.copy(a) if hasattr(a, "dtype") else a, x)
+
+    ms_copy, _ = t(lambda: copy_tree(carry0), n=8)
+    ms_chunk, out = t(lambda: eng._chunk(copy_tree(carry0), imgs), n=8)
+    ms_chunk -= ms_copy
     packed = out[1]
 
-    # BoW register+score program on the chunk output
-    db0 = h.bow_db
-    ms_bow, _ = t(lambda: h._bow_register(h.map, db0, packed)[1], n=8)
-    h.bow_db = db0
+    # BoW register+score program on the chunk output (donates bow_db —
+    # same fresh-copy treatment)
+    db0 = copy_tree(h.bow_db)
+    ms_dbcopy, _ = t(lambda: copy_tree(db0), n=8)
+    ms_bow, _ = t(lambda: h._bow_register(h.map, copy_tree(db0),
+                                          packed)[1], n=8)
+    ms_bow -= ms_dbcopy
 
     # covis prefetch (8-slot batch)
     ms_covis, _ = t(lambda: h._covis(h.map, jnp.zeros((8,), jnp.int32)),

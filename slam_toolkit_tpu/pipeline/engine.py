@@ -304,7 +304,24 @@ class SlamEngine:
 
             @jax.jit
             def _relpose(m, cur, cand):
-                return closer_mod.relative_pose(m, cur, cand, cam, cfg)
+                """Returns (RelPoseResult, packed (20,) f32). The packed
+                vector [T(16), n_inliers, ok, scale, n_near] exists so
+                HOST consumers pay ONE device->host fetch per
+                measurement: reading the NamedTuple's five leaves
+                separately cost ~5 round trips each (~30 ms apiece
+                through this environment's relay — a closure event that
+                consumed 4 candidate measurements spent ~0.5 s purely in
+                small fetches, SLAM_FOLD_PROF r5). Device-side consumers
+                (the close program) keep using the unpacked arrays — no
+                readback there."""
+                rel = closer_mod.relative_pose(m, cur, cand, cam, cfg)
+                packed = jnp.concatenate([
+                    rel.T_cw.reshape(-1),
+                    jnp.stack([rel.n_inliers.astype(jnp.float32),
+                               rel.ok.astype(jnp.float32),
+                               jnp.asarray(rel.scale, jnp.float32),
+                               rel.n_near.astype(jnp.float32)])])
+                return rel, packed
 
             @jax.jit
             def _reloc(m, feats, norm, cand):
@@ -855,12 +872,16 @@ class SlamEngine:
                    for fj, fi, n_old in self._closed_pairs)
 
     def _dispatch_close(self, slot: int, cand: int, rel, fid: int,
-                        fid_cand: int) -> None:
+                        fid_cand: int, vals=None) -> None:
         """Closure half, given an accepted+measured relative pose:
         dispatch the close program (+ optional seam BA), update the
         rings and bookkeeping. Does NOT block on the device — callers
-        that need the corrected map synchronously read self.map after."""
-        n_new = int(rel.n_inliers)
+        that need the corrected map synchronously read self.map after.
+
+        vals: the (20,) host copy of _relpose's packed output, if the
+        caller already fetched it — avoids 4 more small device reads
+        (~30 ms each through the relay) for the event bookkeeping."""
+        n_new = int(rel.n_inliers) if vals is None else int(vals[16])
         k = self.n_closed % MAX_CLOSED_LOOPS
         tier = self._close_tier()
         self._ensure_tier(tier)
@@ -910,18 +931,21 @@ class SlamEngine:
               # near-landmark participation of the accepted edge (depth
               # gate / refine diagnostics: 0 near inliers = the solve sat
               # in the far-depth ambiguity valley)
-              "n_near": int(np.asarray(rel.n_near)),
+              "n_near": int(vals[19]) if vals is not None
+              else int(np.asarray(rel.n_near)),
               # detected current/candidate scale ratio (sim3 edges apply
               # it; a wrong estimate rescales anchored depths and shows
               # up as revisit re-drift)
-              "scale": round(float(np.asarray(rel.scale)), 5),
+              "scale": round(float(vals[18]), 5) if vals is not None
+              else round(float(np.asarray(rel.scale)), 5),
               # raw measurement diagnostics (seam dissection): the
               # re-tracked current-keyframe pose in the candidate side's
               # PRE-correction world, and that pre-correction candidate
               # pose — lets an evaluator with GT compute the loop edge's
               # own error separately from the graph residual. T_cand_pre
               # stays a device row until loop_events is read.
-              "T_meas": np.asarray(rel.T_cw).tolist(),
+              "T_meas": (vals[:16].reshape(4, 4) if vals is not None
+                         else np.asarray(rel.T_cw)).tolist(),
               "T_cand_pre": T_cand_pre}
         self._loop_events.append(ev)
         self._lazy_events.append(ev)
@@ -938,16 +962,19 @@ class SlamEngine:
         fid = self.frame_id if frame_id is None else frame_id
         for cand in self._detect_accept(slot, cand_mask, scores,
                                         covis_of, fid):
-            rel = self._relpose(self.map, jnp.int32(slot), jnp.int32(cand))
-            if not bool(rel.ok):
+            rel, pk = self._relpose(self.map, jnp.int32(slot),
+                                    jnp.int32(cand))
+            vals = np.asarray(pk)           # ONE fetch for all fields
+            if not vals[17] > 0.5:          # ok flag
                 continue
             # Read the WHOLE (F,) id array: indexing the device array
             # with the python `cand` compiled a one-off gather program
             # per distinct slot (~0.8 s each through the compile relay)
             fid_cand = int(np.asarray(self.map.kf_frame_id)[cand])
-            if self._closure_is_dup(fid, fid_cand, int(rel.n_inliers)):
+            if self._closure_is_dup(fid, fid_cand, int(vals[16])):
                 continue
-            self._dispatch_close(slot, cand, rel, fid, fid_cand)
+            self._dispatch_close(slot, cand, rel, fid, fid_cand,
+                                 vals=vals)
             break
 
     def _finish_frame(self, T_np: np.ndarray, T_rel_np: np.ndarray,

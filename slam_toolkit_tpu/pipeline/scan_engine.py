@@ -20,6 +20,7 @@ import os
 import queue as queue_mod
 import sys
 import threading
+import time as time_mod
 from typing import List, NamedTuple, Optional
 
 import jax
@@ -413,6 +414,13 @@ class ChunkedSlamEngine:
         # must first take _loop_lock AND _fold_one must start locking
         # its mutation block; don't add such a write casually.
         self._loop_lock = threading.RLock()
+        # SLAM_FOLD_PROF=1: accumulate wall time per pipeline segment
+        # (dispatch, fold readback, fold host loop, loop phases) and
+        # print the totals at flush — attributes the host/relay side of
+        # the loop-vs-headline fps gap (the device side is profiled by
+        # scripts/profile_loop_overhead.py)
+        self._prof: Optional[dict] = \
+            {} if os.environ.get("SLAM_FOLD_PROF") else None
         self._loop_thread_on = (vocab is not None and
                                 os.environ.get("SLAM_LOOP_THREAD", "1")
                                 == "1")
@@ -424,6 +432,14 @@ class ChunkedSlamEngine:
             t.start()
             self._loop_worker = t
 
+    def _pf(self, name: str, t0: float) -> None:
+        """Accumulate wall time into the SLAM_FOLD_PROF profile (no-op
+        when profiling is off). GIL-atomic float add — safe from both
+        the main thread and the mapping worker."""
+        if self._prof is not None:
+            self._prof[name] = self._prof.get(name, 0.0) \
+                + (time_mod.perf_counter() - t0)
+
     def _loop_worker_main(self) -> None:
         while True:
             job = self._loop_jobs.get()
@@ -431,11 +447,16 @@ class ChunkedSlamEngine:
                 if job is None:
                     return
                 kind, args = job
+                tp = time_mod.perf_counter()
                 with self._loop_lock:
+                    self._pf("wk_lock_wait", tp)
+                    tp = time_mod.perf_counter()
                     if kind == "p1":
                         self._loop_phase1(*args)
+                        self._pf("wk_p1", tp)
                     elif kind == "p2":
                         self._loop_phase2()
+                        self._pf("wk_p2", tp)
             except BaseException as e:     # surfaced at the next flush
                 self._loop_worker_err = e
             finally:
@@ -531,9 +552,18 @@ class ChunkedSlamEngine:
             else jnp.asarray(images, jnp.float32)
         self._dispatch(imgs, t0)
 
+        self._reissue_copies()
         rows, self._owed_rows = self._owed_rows, []
-        while len(self._pending) > self._queue_depth:
-            rows.append(self._fold_one())
+        # SLAM_FOLD_BATCH=k (default 1): let the queue grow k-1 chunks
+        # deeper and fold k chunks per drain cycle. Through a
+        # high-latency relay the first fetch of a fold cycle pays a
+        # queue-drain barrier (~21 ms here regardless of async copies);
+        # batching folds amortizes that barrier over k chunks at the
+        # cost of k-1 chunks of extra host-state staleness.
+        batch = int(os.environ.get("SLAM_FOLD_BATCH", "1"))
+        if len(self._pending) > self._queue_depth + (batch - 1):
+            while len(self._pending) > self._queue_depth:
+                rows.append(self._fold_one())
         return np.concatenate(rows, axis=0) if rows else \
             np.zeros((0, PACK_WIDTH), np.float32)
 
@@ -543,14 +573,19 @@ class ChunkedSlamEngine:
         call and dead the moment it is issued. Holds the loop lock: the
         mapping worker dispatches closure programs against the SAME
         buffers this call donates."""
+        tp = time_mod.perf_counter()
         with self._loop_lock:
+            self._pf("dispatch_lock_wait", tp)
             self._dispatch_locked(imgs, t0)
 
     def _dispatch_locked(self, imgs, t0: float) -> None:
+        tp = time_mod.perf_counter()
         carry_in = self._carry_cache if self._carry_cache is not None \
             else self._carry()
         carry, packed = self._chunk(carry_in, imgs)
         self._carry_cache = carry
+        self._pf("dispatch_chunk", tp)
+        tp = time_mod.perf_counter()
         sc_entry = None
         if self.vocab is not None:
             # dispatch this chunk's BoW registration + scoring NOW (it
@@ -564,6 +599,7 @@ class ChunkedSlamEngine:
             # chunk's packed rows with another chunk's scores (r4
             # advisor, medium).
             sc_entry = self._loop_dispatch(carry.m, packed)
+        self._pf("dispatch_bow", tp)
         # start the device->host copy of the packed per-frame outputs
         # NOW: by the time this chunk is folded (queue_depth dispatches
         # later) the bytes are already host-side, so _fold_one's
@@ -606,13 +642,41 @@ class ChunkedSlamEngine:
             self._drain_loop_jobs()      # mapping worker catches up
             with self._loop_lock:
                 if self._loop_stash:
-                    # the last chunk's detection is still one fold behind
-                    self._loop_phase2()
+                    # the last chunks' detections are still a fold or
+                    # two behind
+                    self._loop_phase2(force=True)
                 # a relpose dispatched by the final phase2 has no later
                 # fold to land in — finish it now (blocks on its result)
                 self._finish_pending_closures()
+        if self._prof:
+            sys.stderr.write("[fold-prof] " + "  ".join(
+                f"{k}={v * 1000.0:.0f}ms"
+                for k, v in sorted(self._prof.items())) + "\n")
         return np.concatenate(rows, axis=0) if rows else \
             np.zeros((0, PACK_WIDTH), np.float32)
+
+    def _reissue_copies(self) -> None:
+        """Re-issue device->host async copies for pending results whose
+        COMPUTATION has had a chunk of device time to finish.
+
+        copy_to_host_async only populates the host cache when the value
+        already exists; issued at dispatch time (before the program
+        runs) it is silently lost, and the eventual np.asarray pays a
+        full synchronous relay round trip (~23 ms here — measured:
+        fetch-after-landed-async-copy 0.2 ms vs 23 ms without). Called
+        once per process_chunk; a redundant re-copy of an
+        already-cached value costs microseconds."""
+        for p in self._pending[:-1]:
+            targets = [p["packed"]]
+            sc = p.get("sc")
+            if sc is not None:
+                targets.append(sc["sc"])
+            for a in targets:
+                try:
+                    jax.tree_util.tree_map(
+                        lambda x: x.copy_to_host_async(), a)
+                except Exception:       # non-jax arrays in tests
+                    pass
 
     def _fold_one(self) -> np.ndarray:
         """Fold the oldest pending chunk's results into host state — all
@@ -625,7 +689,10 @@ class ChunkedSlamEngine:
         if not self._pending:
             return np.zeros((0, PACK_WIDTH), np.float32)
         p = self._pending.pop(0)
+        tp = time_mod.perf_counter()
         packed_np = np.asarray(p["packed"])       # ONE readback per chunk
+        self._pf("fold_readback", tp)
+        tp = time_mod.perf_counter()
 
         h = self._host
         h.frame_id += len(packed_np)
@@ -652,6 +719,8 @@ class ChunkedSlamEngine:
                                      "ok": bool(row[33] > 0.5),
                                      "elapsed_ms": round(dt_ms, 2)})
 
+        self._pf("fold_host_rows", tp)
+        tp = time_mod.perf_counter()
         # host-side mapping-thread work between chunks, two phases so no
         # fold ever blocks on a fresh dispatch: consume the PREVIOUS
         # chunk's stashed detection (its covis rows were dispatched one
@@ -689,6 +758,8 @@ class ChunkedSlamEngine:
             # base_fid is captured NOW: the worker may run phase1 after
             # later folds have advanced h.frame_id
             base_fid = h.frame_id - len(packed_np)
+            self._pf("fold_reloc_gate", tp)
+            tp = time_mod.perf_counter()
             if self._loop_thread_on:
                 self._loop_jobs.put(("p2", ()))
                 if p["sc"] is not None:
@@ -698,6 +769,7 @@ class ChunkedSlamEngine:
                 self._loop_phase2()
                 if p["sc"] is not None:
                     self._loop_phase1(p["sc"], packed_np, base_fid)
+            self._pf("fold_phases", tp)
             if n_new_kf:
                 self._host._precompile_tiers_async()
         return packed_np
@@ -884,13 +956,13 @@ class ChunkedSlamEngine:
                 if not mask.any():
                     continue
                 top = int(np.argmax(np.where(mask, scores_np[i], -1.0)))
-                rel = h._relpose(h.map, jnp.int32(int(s)), jnp.int32(top))
+                rel, pk = h._relpose(h.map, jnp.int32(int(s)),
+                                     jnp.int32(top))
                 try:
-                    jax.tree_util.tree_map(
-                        lambda x: x.copy_to_host_async(), rel)
+                    pk.copy_to_host_async()
                 except Exception:       # non-jax arrays in tests
                     pass
-                spec[int(s)] = (top, rel)
+                spec[int(s)] = (top, (rel, pk))
         self._loop_stash.append({
             "kf_rows": kf_rows, "slots": slots, "cand_np": cand_np,
             "scores_np": scores_np, "covis_dev": covis_dev,
@@ -898,24 +970,48 @@ class ChunkedSlamEngine:
             "base_fid": (h.frame_id - len(packed_np)
                          if base_fid is None else base_fid)})
 
-    def _loop_phase2(self) -> None:
+    def _loop_phase2(self, force: bool = False) -> None:
         """Consistency + (pipelined) closure for the stashed detection
-        (one fold old): engine._detect_accept per keyframe with covis
+        (TWO folds old): engine._detect_accept per keyframe with covis
         rows from the phase-1 prefetch; an accepted candidate's relative
         pose is DISPATCHED here and consumed one fold later
         (_finish_pending_closures) so no fold ever blocks on the
         relpose or close programs — closure latency rides the same
         mapping-thread staleness as everything else
-        (ref src/pipeline.cpp:98-141)."""
+        (ref src/pipeline.cpp:98-141).
+
+        Stash entries age one EXTRA fold before consumption (force=True
+        at flush consumes regardless): with one fold of aging the covis
+        np.asarray still cost ~16 ms/chunk through this environment's
+        relay while the score readback — aged 2-3 folds by the
+        dispatch-time async copy — was free (SLAM_FOLD_PROF r5). The
+        extra chunk of detection latency is the reference's own
+        mapping-thread staleness."""
         h = self._host
+        tp = time_mod.perf_counter()
         self._finish_pending_closures()
-        while self._loop_stash:
+        self._pf("p2_finish", tp)
+        for st in self._loop_stash:
+            st["age"] = st.get("age", 0) + 1
+            if st["age"] == 1 and st["covis_dev"] is not None:
+                # the covis program has now had a fold of device time —
+                # re-issue the async copy so next fold's consumption is
+                # a host-cache hit (see _reissue_copies)
+                try:
+                    st["covis_dev"].copy_to_host_async()
+                except Exception:       # non-jax arrays in tests
+                    pass
+        while self._loop_stash and (force or
+                                    self._loop_stash[0]["age"] >= 2):
             st = self._loop_stash.pop(0)
             covis_of = None
+            tp = time_mod.perf_counter()
             if st["covis_dev"] is not None:
                 rows = np.asarray(st["covis_dev"])[:len(st["cand_all"])]
                 covis_of = {int(s): rows[i]
                             for i, s in enumerate(st["cand_all"])}
+            self._pf("p2_covis_read", tp)
+            tp = time_mod.perf_counter()
             for i, (r, s) in enumerate(zip(st["kf_rows"], st["slots"])):
                 fid = st["base_fid"] + int(r)
                 cands = h._detect_accept(int(s), st["cand_np"][i],
@@ -939,14 +1035,13 @@ class ChunkedSlamEngine:
                     hit = spec is not None and spec[0] == cands[0]
                     rels = [spec] if hit else []
                     for cand in cands[0 if not hit else 1:4]:
-                        rel = h._relpose(h.map, jnp.int32(int(s)),
-                                         jnp.int32(cand))
+                        rel, pk = h._relpose(h.map, jnp.int32(int(s)),
+                                             jnp.int32(cand))
                         try:
-                            jax.tree_util.tree_map(
-                                lambda x: x.copy_to_host_async(), rel)
+                            pk.copy_to_host_async()
                         except Exception:   # non-jax arrays in tests
                             pass
-                        rels.append((int(cand), rel))
+                        rels.append((int(cand), (rel, pk)))
                     self._closure_pend.append(
                         {"slot": int(s), "fid": fid, "rels": rels,
                          "ready": hit})
@@ -981,32 +1076,45 @@ class ChunkedSlamEngine:
                 landed = age >= 1
                 if landed and age < 4:
                     try:
-                        landed = all(r.ok.is_ready()
-                                     for _, r in pc["rels"])
+                        landed = all(pk.is_ready()
+                                     for _, (_, pk) in pc["rels"])
                     except AttributeError:
                         pass        # backend without is_ready: block
                 if not landed:
+                    # computation pending or just landed — (re-)issue
+                    # the async copies so the eventual consumption hits
+                    # the host cache (see _reissue_copies)
+                    for _, (_, pk2) in pc["rels"]:
+                        try:
+                            pk2.copy_to_host_async()
+                        except Exception:   # non-jax arrays in tests
+                            pass
                     remaining.append(pc)
                     continue
             if (h.n_keyframes - h._last_closure_nkf
                     < h.cfg.loop.closure_cooldown_kfs):
                 continue        # a closure landed since this detection
-            for cand, rel in pc["rels"]:
+            for cand, (rel, pk) in pc["rels"]:
+                # ONE fetch per measurement: [T(16), n, ok, scale,
+                # n_near] — per-field reads cost a ~30 ms relay round
+                # trip EACH (the closure event spent ~0.5 s in small
+                # fetches, SLAM_FOLD_PROF r5)
+                vals = np.asarray(pk)
                 if os.environ.get("SLAM_LOOP_DEBUG"):
                     sys.stderr.write(
                         f"[fin] fid={pc['fid']} slot={pc['slot']} "
-                        f"cand={cand} ok={bool(np.asarray(rel.ok))} "
-                        f"inl={int(rel.n_inliers)} "
-                        f"near={int(np.asarray(rel.n_near))}\n")
-                if not bool(np.asarray(rel.ok)):
+                        f"cand={cand} ok={vals[17] > 0.5} "
+                        f"inl={int(vals[16])} "
+                        f"near={int(vals[19])}\n")
+                if not vals[17] > 0.5:
                     continue
                 fid_cand = int(self._kf_fid_host[cand])
                 if h._closure_is_dup(pc["fid"], fid_cand,
-                                     int(rel.n_inliers)):
+                                     int(vals[16])):
                     continue
                 latest_T_old = h._latest_kf_T_dev
                 h._dispatch_close(pc["slot"], cand, rel, pc["fid"],
-                                  fid_cand)
+                                  fid_cand, vals=vals)
                 # mirrors: landmark snapshot + latest-KF pose from the
                 # corrected map — one dispatch. The snapshot's latest
                 # slot INCLUDES in-flight chunks' inserts, while the

@@ -169,10 +169,30 @@ def farneback_flow(img0: jnp.ndarray, img1: jnp.ndarray, levels: int = 5,
         shapes.append((max(int(round(h * s)), 8), max(int(round(w * s)), 8)))
     shapes = shapes[::-1]
 
+    # anti-aliased pyramids by successive blur-then-downsample (the
+    # cv::pyrDown construction). A direct bilinear resize from full
+    # resolution samples ~2 taps of a 16x-decimated signal — high-
+    # frequency texture ALIASES, the coarse levels decorrelate between
+    # the two frames, and large motions never lock on: measured on the
+    # cluster bench scene as flow failing exactly where |flow| >= 18 px
+    # (coarse-level capture needed) while <= 13 px bands tracked to
+    # 0.01 px (r5). Blur taps ride the same banded-MXU sep_correlate2d
+    # as every other filter here.
+    from slam_toolkit_tpu.ops.sepconv import sep_correlate2d
+    g5 = np.array([1.0, 4.0, 6.0, 4.0, 1.0], np.float32) / 16.0
+    pyr0 = [img0.astype(jnp.float32)]
+    pyr1 = [img1.astype(jnp.float32)]
+    for (hh, ww) in shapes[-2::-1]:         # fine-1 ... coarsest
+        pyr0.append(resize_bilinear(
+            sep_correlate2d(pyr0[-1], g5, g5), (hh, ww)))
+        pyr1.append(resize_bilinear(
+            sep_correlate2d(pyr1[-1], g5, g5), (hh, ww)))
+    pyr0, pyr1 = pyr0[::-1], pyr1[::-1]     # coarsest first
+
     flow = jnp.zeros(shapes[0] + (2,), jnp.float32)
-    for (hh, ww) in shapes:
-        i0 = resize_bilinear(img0.astype(jnp.float32), (hh, ww))
-        i1 = resize_bilinear(img1.astype(jnp.float32), (hh, ww))
+    for lvl, (hh, ww) in enumerate(shapes):
+        i0 = pyr0[lvl]
+        i1 = pyr1[lvl]
         if flow.shape[:2] != (hh, ww):
             sy = hh / flow.shape[0]
             sx = ww / flow.shape[1]

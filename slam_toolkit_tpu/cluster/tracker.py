@@ -705,6 +705,16 @@ class FusedDenseTracker:
         except Exception:       # non-jax backends in tests
             pass
         self._queue.append(packed)
+        # re-issue the async copy for the OLDEST queued result: issued
+        # at dispatch time (before the program ran) the copy is silently
+        # lost and the fold's np.asarray pays a full synchronous round
+        # trip (~23 ms through this environment's relay; measured 0.2 ms
+        # when a landed copy is in the host cache — same fix as
+        # scan_engine._reissue_copies)
+        try:
+            self._queue[0].copy_to_host_async()
+        except Exception:       # non-jax backends in tests
+            pass
         if len(self._queue) > self._queue_depth:
             return self._fold()
         return None

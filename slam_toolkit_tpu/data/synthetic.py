@@ -444,6 +444,17 @@ def cluster_scene_gt(scene: ClusterScene, t: int):
               x + margin:x + s - margin] = True
     valid[:margin] = valid[-margin:] = False
     valid[:, :margin] = valid[:, -margin:] = False
+    # flow-aware edge exclusion: a pixel whose source column in the
+    # previous frame falls outside the image has NO correspondence —
+    # the rendered bands roll, so the edge strip shows content that
+    # entered from the opposite side, and no flow method can match it.
+    # With band flow up to ~25 px the fixed 12 px margin left a ~13 px
+    # unrecoverable strip inside `valid`, which alone pushed the bench's
+    # flow EPE RMSE from ~1 px to 14 px (r5: EPE p50 was 0.01 px while
+    # p90 spiked at GT-flow-magnitude pixels hugging the border).
+    xs = np.arange(W, dtype=np.float32)[None, :]
+    src_x = xs - flow[..., 0]
+    valid &= (src_x >= margin) & (src_x < W - margin)
     return disp, flow, valid
 
 

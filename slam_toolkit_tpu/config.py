@@ -444,6 +444,19 @@ class LoopConfig:
     min_scale_pairs: int = 12         # matched depth-ratio pairs required
     #                                   before trusting a loop-scale
     #                                   estimate (else scale = 1)
+    max_scale_drift: float = 0.05     # clamp on the sim3 loop-scale
+    #                                   estimate: a STEREO rig observes
+    #                                   absolute scale every frame, so
+    #                                   real map scale drift is a few
+    #                                   percent at most — an unclamped
+    #                                   estimate applies whatever the
+    #                                   drift-distorted matched structure
+    #                                   says (measured: a 0.815 scale on
+    #                                   a 137-inlier fig8 closure
+    #                                   rescaled every anchored depth by
+    #                                   18.5% and wrecked the map).
+    #                                   Raise for monocular operation,
+    #                                   where Sim3 scale genuinely floats
     # vocabulary (ours is trained, not ORBvoc.txt: branching k, depth L)
     vocab_k: int = 10
     vocab_levels: int = 4             # 10^4 = 10k words

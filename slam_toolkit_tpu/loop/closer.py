@@ -421,6 +421,15 @@ def _loop_scale(m: MapState, cur_slot, kpt, inlier, d_cand, cfg):
     # masked median: invalid -> +inf, take the (n-1)//2-th order stat
     r_sorted = jnp.sort(jnp.where(pair_ok, ratio, jnp.inf))
     med = r_sorted[jnp.maximum(n_pairs - 1, 0) // 2]
+    # clamp to the stereo prior: a stereo rig observes absolute scale
+    # every frame, so REAL map scale drift is bounded to a few percent;
+    # an unclamped estimate applies whatever the (drift-distorted)
+    # matched structure says — measured on the fig8 bench as a 0.815
+    # scale on a 137-inlier mid-lap closure that rescaled every
+    # anchored depth by 18.5% and wrecked the map. Monocular operation
+    # (where Sim3 scale genuinely floats) would raise max_scale_drift.
+    c = cfg.loop.max_scale_drift
+    med = jnp.clip(med, 1.0 / (1.0 + c), 1.0 + c)
     return jnp.where(n_pairs >= cfg.loop.min_scale_pairs, med, 1.0)
 
 

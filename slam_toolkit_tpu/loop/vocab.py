@@ -453,16 +453,22 @@ def bow_topw(voc: Vocabulary, desc: jnp.ndarray, valid: jnp.ndarray,
 
 
 def topw_l1_score(query: TopWBow, db: TopWBow) -> jnp.ndarray:
-    """L1 similarity of one sparse BoW row against many: (F,) scores."""
-    import jax
+    """L1 similarity of one sparse BoW row against many: (F,) scores.
+
+    Broadcast equality join: the (F, W, W) compare + min-weight select
+    fuses into one VPU reduction pass — measured 0.04 ms for the full
+    F=1024, W=500 ring on a v5e. The previous sorted-merge
+    (vmap of jnp.searchsorted per row) lowered to a serial
+    while-loop-with-gathers on TPU and cost 66.8 ms at the same shapes
+    — the one latent hot spot of the ORBvoc-scale (1M-word) sparse
+    backend (scripts/bench_vocab_1m.py r5). Sentinel words (empty row
+    slots) match only sentinel entries, whose weights are 0, so they
+    contribute min(x, 0) = 0 either way."""
     qw, qv = query.words, query.weights
-
-    def row(dw, dv):
-        pos = jnp.clip(jnp.searchsorted(dw, qw), 0, dw.shape[0] - 1)
-        hit = dw[pos] == qw
-        return jnp.sum(jnp.where(hit, jnp.minimum(qv, dv[pos]), 0.0))
-
-    return jax.vmap(row)(db.words, db.weights)
+    hit = db.words[:, :, None] == qw[None, None, :]
+    contrib = jnp.where(
+        hit, jnp.minimum(db.weights[:, :, None], qv[None, None, :]), 0.0)
+    return jnp.sum(contrib, axis=(1, 2))
 
 
 # ---------------------------------------------------------------------------

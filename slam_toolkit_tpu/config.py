@@ -444,6 +444,30 @@ class LoopConfig:
     min_scale_pairs: int = 12         # matched depth-ratio pairs required
     #                                   before trusting a loop-scale
     #                                   estimate (else scale = 1)
+    replay_edge_boost: float = 1.0    # information multiplier for
+    #                                   REPLAYED loop edges in the pose
+    #                                   graph (closer.close_loop): a
+    #                                   replayed seam was measured,
+    #                                   accepted and already corrected,
+    #                                   so later closures could be made
+    #                                   to deform the graph elsewhere
+    #                                   instead of dragging it apart
+    #                                   through the odometry chain.
+    #                                   Default 1 (off) on the r5 CPU
+    #                                   fig8 sweeps: in the 2-closure
+    #                                   regime boost 4-8 improved every
+    #                                   seam (lap2 1.31 -> 1.12-1.20 m),
+    #                                   but in the 3-closure regime the
+    #                                   boost AMPLIFIED an earlier
+    #                                   noisy edge and doubled the seams
+    #                                   (lap2 2.11 -> 4.88 m at boost 4)
+    #                                   — overweighting is only safe
+    #                                   when every replayed edge is
+    #                                   good, which nothing guarantees.
+    #                                   Single-closure runs (the bench
+    #                                   clothoid) are untouched either
+    #                                   way (the ring is empty at their
+    #                                   solve)
     max_scale_drift: float = 0.05     # clamp on the sim3 loop-scale
     #                                   estimate: a STEREO rig observes
     #                                   absolute scale every frame, so

@@ -583,8 +583,17 @@ def close_loop(m: MapState, cur_slot: jnp.ndarray, cand_slot: jnp.ndarray,
     # outvote a 3x-stronger one (ref weighs all loops equally)
     if prev_loops_w is None:
         prev_loops_w = jnp.ones((E_loop,), jnp.float32)
+    # REPLAYED edges carry extra information weight: a replayed loop is
+    # a seam that was already measured, accepted AND corrected — the
+    # poses around it have been made consistent with it, so a later
+    # closure's correction should deform the graph elsewhere rather
+    # than drag the closed seam apart through the odometry chain.
+    # Measured on the CPU figure-eight (2 closures): lap-2 seam
+    # degradation under the second correction 0.75 -> 1.31 m at
+    # boost=1; see BASELINE.md for the swept value.
     loop_w = jnp.concatenate([
-        jnp.asarray([loop_weight], jnp.float32), prev_loops_w])
+        jnp.asarray([loop_weight], jnp.float32),
+        prev_loops_w * cfg.loop.replay_edge_boost])
     scale = jnp.concatenate([chain_scale, loop_w])
     edge_info = edge_info * scale[:, None]
 

@@ -528,13 +528,17 @@ def test_figure_eight_multiple_closures():
     s_closed = seams(traj)
     s_open = seams(eng_open.trajectory_refined())
     # the FINAL pass is the seam the last closure directly measured and
-    # corrected — it must improve. The earlier seams (lap-2, lobe-2)
-    # currently can DEGRADE under the corrections on this track: the
-    # residual relpose/graph error the r3 verdict's seam dissection
-    # tracks (weak #2) is magnified here because each correction is
-    # distributed over a chain containing the other loop. Recorded as
-    # the open issue this scenario exists to measure; tighten these
-    # bounds as the seam-error work lands.
+    # corrected — it must improve; every seam is bounded by 2.5x the
+    # worst open-loop seam. Tighter per-seam bounds were attempted in
+    # r5 and REVERTED as un-assertable: closure timing on this scenario
+    # is scheduling-dependent (the mapping worker's is_ready aging is
+    # wall-clock sensitive — runs close 2, 3, or 4 loops with seam
+    # spreads of 1.3-3.5x open on identical inputs), and pinning
+    # SLAM_LOOP_THREAD=0 for determinism lands in a WORSE 4-closure
+    # regime (lobe-2 seam 9.5 vs 6.6 m open). The replay-edge
+    # information boost built for this (LoopConfig.replay_edge_boost)
+    # helps the 2-closure regime and hurts the 3-closure one — default
+    # off; full sweep in its config comment / BASELINE.md r5.
     assert s_closed[2] < s_open[2], \
         f"final-pass seam degraded: {s_closed} vs open {s_open}"
     assert max(s_closed) < 2.5 * max(s_open), \
